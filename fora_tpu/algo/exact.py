@@ -1,0 +1,79 @@
+"""Exact / near-exact PPR oracle — the ground-truth generator.
+
+Plays the role of the reference's ``gen-exact-topk`` action [R: query.h —
+reconstruction, SURVEY.md Sec. 3.4]: produce machine-precision PPR per query
+source, to be consumed by the precision@k evaluator.
+
+Dangling-node convention (fixed across the whole engine, oracle included):
+a node with zero out-degree transitions back to the *query source* — the
+walk restarts — matching the reference's random_walk returning to the start
+node when the current node has no out-neighbor [R: algo.h — reconstruction].
+Under that convention PPR solves the source-dependent fixed point
+
+    pi = alpha * e_s + (1 - alpha) * (P^T pi + dangling_mass(pi) * e_s).
+
+Small graphs get a dense linear solve; large graphs a power iteration over
+the packed CSR (numpy, host-side: ground truth is offline work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.csr import CSRGraph
+
+
+def exact_ppr_dense(g: CSRGraph, source: int, alpha: float = 0.2) -> np.ndarray:
+    """Dense solve: (I - (1-a) M^T) pi = a e_s, where M is the transition
+    matrix with the dangling->source convention. O(n^3); fixtures only."""
+    n = g.n
+    M = np.zeros((n, n), dtype=np.float64)
+    deg = np.asarray(g.out_deg, dtype=np.int64)
+    src = np.repeat(np.arange(n), deg)
+    # np.add.at: fancy-index += would drop parallel edges
+    np.add.at(M, (src, np.asarray(g.out_indices, dtype=np.int64)),
+              1.0 / deg[src])
+    M[deg == 0, source] = 1.0
+    A = np.eye(n) - (1.0 - alpha) * M.T
+    pi = np.linalg.solve(A, alpha * np.eye(n)[:, source])
+    return pi
+
+
+def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
+                    tol: float = 1e-12, max_iters: int = 2000) -> np.ndarray:
+    """Power iteration to ||delta||_1 <= tol. O(m) per iteration."""
+    n = g.n
+    deg = np.asarray(g.out_deg, dtype=np.float64)
+    in_src = np.asarray(g.in_src, dtype=np.int64)
+    in_dst = np.asarray(g.in_dst, dtype=np.int64)
+    dangling = deg == 0
+    inv_deg = np.where(dangling, 0.0, 1.0 / np.maximum(deg, 1.0))
+
+    pi = np.zeros(n, dtype=np.float64)
+    pi[source] = 1.0
+    e_s = np.zeros(n, dtype=np.float64)
+    e_s[source] = 1.0
+    for _ in range(max_iters):
+        contrib = pi * inv_deg
+        nxt = np.bincount(in_dst, weights=contrib[in_src], minlength=n)
+        nxt = alpha * e_s + (1.0 - alpha) * (nxt + pi[dangling].sum() * e_s)
+        if np.abs(nxt - pi).sum() <= tol:
+            pi = nxt
+            break
+        pi = nxt
+    return pi
+
+
+def exact_ppr(g: CSRGraph, source: int, alpha: float = 0.2,
+              tol: float = 1e-12) -> np.ndarray:
+    if g.n <= 512:
+        return exact_ppr_dense(g, source, alpha)
+    return exact_ppr_power(g, source, alpha, tol=tol)
+
+
+def exact_topk(g: CSRGraph, source: int, k: int, alpha: float = 0.2
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k node ids (desc by exact PPR) and their values."""
+    pi = exact_ppr(g, source, alpha)
+    idx = np.argsort(-pi, kind="stable")[:k]
+    return idx.astype(np.int64), pi[idx]

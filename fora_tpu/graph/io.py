@@ -1,0 +1,71 @@
+"""Dataset I/O honoring the reference's on-disk contract.
+
+Contract [R: README / graph.h — reconstruction, SURVEY.md Sec. 2.1]:
+  <prefix>/<dataset>/graph.txt       one "src dst" pair per line, 0-indexed
+  <prefix>/<dataset>/attribute.txt   two lines: "n=<N>" and "m=<M>"
+
+A C++ fast path (fora_tpu/_native/graph_io.cpp, via ctypes) parses large
+edge lists at memory bandwidth; numpy.loadtxt is the fallback.  Packed CSR
+arrays are cached next to the dataset as .npz so repeat runs skip parsing.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .csr import CSRGraph, from_edges
+from .._native import native_parse_edges  # None if the .so is unavailable
+
+
+def load_attribute(dataset_dir: Path) -> tuple[int, int]:
+    n = m = None
+    for line in (dataset_dir / "attribute.txt").read_text().splitlines():
+        line = line.strip()
+        if line.startswith("n="):
+            n = int(line[2:])
+        elif line.startswith("m="):
+            m = int(line[2:])
+    if n is None or m is None:
+        raise ValueError(f"attribute.txt missing n=/m= in {dataset_dir}")
+    return n, m
+
+
+def load_dataset(prefix: str, dataset: str, use_cache: bool = True) -> CSRGraph:
+    """Load <prefix>/<dataset>/graph.txt into packed CSR form."""
+    ddir = Path(prefix) / dataset
+    cache = ddir / "csr_cache.npz"
+    if use_cache and cache.exists() and \
+            cache.stat().st_mtime >= (ddir / "graph.txt").stat().st_mtime:
+        z = np.load(cache)
+        return CSRGraph(**{k: z[k] for k in CSRGraph._fields})
+
+    n, _ = load_attribute(ddir)
+    path = ddir / "graph.txt"
+    if native_parse_edges is not None:
+        src, dst = native_parse_edges(str(path))
+    else:
+        e = np.loadtxt(path, dtype=np.int64, ndmin=2)
+        src, dst = e[:, 0], e[:, 1]
+    g = from_edges(src, dst, n)
+    if use_cache:
+        try:
+            np.savez(cache, **g._asdict())
+        except OSError:
+            pass  # read-only dataset dir: skip caching
+    return g
+
+
+def save_dataset(g: CSRGraph, prefix: str, dataset: str) -> None:
+    """Write a graph back out in the reference's format (fixtures, tests)."""
+    ddir = Path(prefix) / dataset
+    os.makedirs(ddir, exist_ok=True)
+    (ddir / "attribute.txt").write_text(f"n={g.n}\nm={g.m}\n")
+    # out-CSR order: expand indptr to per-edge src
+    src = np.repeat(np.arange(g.n, dtype=np.int64), np.asarray(g.out_deg, dtype=np.int64))
+    with open(ddir / "graph.txt", "w") as f:
+        for s, d in zip(src, g.out_indices):
+            f.write(f"{s} {d}\n")

@@ -1,0 +1,57 @@
+"""Oracle tests: closed-form PPR on analytic graphs; dense vs power iteration."""
+
+import math
+
+import numpy as np
+
+from fora_tpu.algo import exact
+from fora_tpu.graph import generators
+
+
+def test_cycle_closed_form():
+    """On a directed n-cycle, pi(s, s+j) = a(1-a)^j / (1-(1-a)^n)."""
+    n, a = 8, 0.2
+    g = generators.cycle_graph(n)
+    pi = exact.exact_ppr_dense(g, 0, alpha=a)
+    norm = 1.0 - (1.0 - a) ** n
+    expected = np.array([a * (1 - a) ** j / norm for j in range(n)])
+    np.testing.assert_allclose(pi, expected, rtol=1e-10)
+    assert abs(pi.sum() - 1.0) < 1e-10
+
+
+def test_star_dangling_to_source():
+    """Star 0->{1..n-1}, leaves dangling -> all leaf mass restarts at 0.
+
+    Closed form: pi(0) solves pi0 = a + (1-a)^2 * pi0  (source emits to
+    leaves, leaves bounce back), pi(leaf) = (1-a) * pi0 / (n-1).
+    """
+    n, a = 6, 0.2
+    g = generators.star_graph(n)
+    pi = exact.exact_ppr_dense(g, 0, alpha=a)
+    pi0 = a / (1 - (1 - a) ** 2)
+    np.testing.assert_allclose(pi[0], pi0, rtol=1e-10)
+    np.testing.assert_allclose(pi[1:], (1 - a) * pi0 / (n - 1), rtol=1e-10)
+    assert abs(pi.sum() - 1.0) < 1e-10
+
+
+def test_power_matches_dense():
+    g = generators.karate_club()
+    for s in (0, 33, 16):
+        pd = exact.exact_ppr_dense(g, s)
+        pp = exact.exact_ppr_power(g, s, tol=1e-14)
+        np.testing.assert_allclose(pp, pd, atol=1e-10)
+
+
+def test_power_with_dangling_matches_dense():
+    g = generators.erdos_renyi(64, 120, seed=7)  # sparse -> some dangling nodes
+    assert (np.asarray(g.out_deg) == 0).any()
+    pd = exact.exact_ppr_dense(g, 3)
+    pp = exact.exact_ppr_power(g, 3, tol=1e-14)
+    np.testing.assert_allclose(pp, pd, atol=1e-10)
+
+
+def test_exact_topk():
+    g = generators.karate_club()
+    idx, vals = exact.exact_topk(g, 0, k=5)
+    assert idx[0] == 0  # source dominates its own PPR
+    assert np.all(np.diff(vals) <= 0)
