@@ -5,12 +5,15 @@ reconstruction, SURVEY.md Sec. 3.4]: produce machine-precision PPR per query
 source, to be consumed by the precision@k evaluator.
 
 Dangling-node convention (fixed across the whole engine, oracle included):
-a node with zero out-degree transitions back to the *query source* — the
-walk restarts — matching the reference's random_walk returning to the start
-node when the current node has no out-neighbor [R: algo.h — reconstruction].
-Under that convention PPR solves the source-dependent fixed point
+a node with zero out-degree is ABSORBING — a walk reaching it ends there
+(equivalently: it carries a self-loop, so the alpha-coin eventually stops
+the walk in place).  This keeps the chain source-independent, which is what
+makes the FORA+ precomputed walk index valid: endpoints of walks from v do
+not depend on which query is running.  In the push phase the entire residue
+at a dangling node settles (geometric series of the self-loop).
 
-    pi = alpha * e_s + (1 - alpha) * (P^T pi + dangling_mass(pi) * e_s).
+PPR solves  pi = alpha * e_s + (1 - alpha) * M^T pi  with M the transition
+matrix where dangling rows are self-loops.
 
 Small graphs get a dense linear solve; large graphs a power iteration over
 the packed CSR (numpy, host-side: ground truth is offline work).
@@ -25,7 +28,7 @@ from ..graph.csr import CSRGraph
 
 def exact_ppr_dense(g: CSRGraph, source: int, alpha: float = 0.2) -> np.ndarray:
     """Dense solve: (I - (1-a) M^T) pi = a e_s, where M is the transition
-    matrix with the dangling->source convention. O(n^3); fixtures only."""
+    matrix with self-loops on dangling rows. O(n^3); fixtures only."""
     n = g.n
     M = np.zeros((n, n), dtype=np.float64)
     deg = np.asarray(g.out_deg, dtype=np.int64)
@@ -33,7 +36,8 @@ def exact_ppr_dense(g: CSRGraph, source: int, alpha: float = 0.2) -> np.ndarray:
     # np.add.at: fancy-index += would drop parallel edges
     np.add.at(M, (src, np.asarray(g.out_indices, dtype=np.int64)),
               1.0 / deg[src])
-    M[deg == 0, source] = 1.0
+    dang = np.nonzero(deg == 0)[0]
+    M[dang, dang] = 1.0
     A = np.eye(n) - (1.0 - alpha) * M.T
     pi = np.linalg.solve(A, alpha * np.eye(n)[:, source])
     return pi
@@ -56,7 +60,8 @@ def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
     for _ in range(max_iters):
         contrib = pi * inv_deg
         nxt = np.bincount(in_dst, weights=contrib[in_src], minlength=n)
-        nxt = alpha * e_s + (1.0 - alpha) * (nxt + pi[dangling].sum() * e_s)
+        nxt[dangling] += pi[dangling]          # self-loop on dangling rows
+        nxt = alpha * e_s + (1.0 - alpha) * nxt
         if np.abs(nxt - pi).sum() <= tol:
             pi = nxt
             break

@@ -1,0 +1,209 @@
+"""CLI driver — the engine's user-facing surface.
+
+Mirrors the reference's action/flag interface [R: fora.cpp main —
+reconstruction, SURVEY.md Sec. 1 L6]:
+
+  python -m fora_tpu.cli <action> --prefix data --dataset dblp [flags]
+
+Actions:
+  query              single-source SSPPR over a query set
+  topk               top-k queries with iterative refinement
+  batch-topk         batched top-k over the whole query set (data-parallel,
+                     replacing the reference's sequential loop)
+  build              build + serialize the FORA+ walk index
+  generate-ss-query  sample a query source set to <dataset>.query
+  gen-exact-topk     ground-truth exact PPR top-k per query source
+
+Algorithms (--algo): fora (default), montecarlo, fwdpush.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import ForaConfig
+from .eval import metrics, queries as query_io
+from .graph import io as graph_io
+from .graph import to_device
+from .utils.logging import RunLog, info
+from .utils.timers import Timers
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fora_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("action", choices=["query", "topk", "batch-topk", "build",
+                                      "generate-ss-query", "gen-exact-topk"])
+    p.add_argument("--prefix", default="data", help="dataset root dir")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--algo", default="fora",
+                   choices=["fora", "montecarlo", "fwdpush"])
+    p.add_argument("--epsilon", type=float, default=0.5)
+    p.add_argument("--alpha", type=float, default=0.2)
+    p.add_argument("--delta", type=float, default=None, help="default 1/n")
+    p.add_argument("--pfail", type=float, default=None, help="default 1/n")
+    p.add_argument("--k", type=int, default=50)
+    p.add_argument("--query-size", type=int, default=20,
+                   help="number of sources for generate-ss-query")
+    p.add_argument("--batch", type=int, default=16,
+                   help="sources per device batch")
+    p.add_argument("--with-idx", action="store_true",
+                   help="serve walks from the prebuilt FORA+ index")
+    p.add_argument("--index-dir", default=None,
+                   help="default <prefix>/index/<dataset>")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--runlog", default=None, help="JSONL metrics path")
+    p.add_argument("--eval-exact", action="store_true",
+                   help="report precision@k vs the exact oracle (slow)")
+    return p
+
+
+def _query_file(args) -> Path:
+    return Path(args.prefix) / args.dataset / f"{args.dataset}.query"
+
+
+def _index_dir(args) -> str:
+    return args.index_dir or str(Path(args.prefix) / "index" / args.dataset)
+
+
+def _load(args):
+    t0 = time.perf_counter()
+    g = graph_io.load_dataset(args.prefix, args.dataset)
+    info("graph loaded", n=g.n, m=g.m, secs=f"{time.perf_counter()-t0:.2f}")
+    return g
+
+
+def _batched(sources: np.ndarray, batch: int):
+    """Pad the tail batch by repeating the last source (results discarded)."""
+    for lo in range(0, len(sources), batch):
+        chunk = sources[lo: lo + batch]
+        pad = batch - len(chunk)
+        yield np.concatenate([chunk, np.repeat(chunk[-1:], pad)]), len(chunk)
+
+
+def main(argv=None) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    log = RunLog(args.runlog)
+    timers = Timers()
+
+    if args.action == "generate-ss-query":
+        g = _load(args)
+        src = query_io.generate_sources(g, args.query_size, seed=args.seed)
+        query_io.save_queries(src, str(_query_file(args)))
+        info("query set written", path=str(_query_file(args)), count=len(src))
+        return 0
+
+    g = _load(args)
+    cfg = ForaConfig(alpha=args.alpha, epsilon=args.epsilon, delta=args.delta,
+                     pfail=args.pfail, k=args.k)
+    rcfg = cfg.resolved(g.n, g.m)
+    info("config", rmax=f"{rcfg.rmax:.3g}", omega_unit=f"{rcfg.omega_unit:.3g}",
+         delta=f"{rcfg.delta:.3g}")
+
+    if args.action == "gen-exact-topk":
+        from .algo import exact
+        sources = query_io.load_queries(str(_query_file(args)))
+        out = Path(args.prefix) / args.dataset / "exact"
+        out.mkdir(parents=True, exist_ok=True)
+        for s in sources:
+            with timers.phase("exact"):
+                ids, vals = exact.exact_topk(g, int(s), max(args.k, 500),
+                                             alpha=args.alpha)
+            np.savez(out / f"{int(s)}.npz", ids=ids, vals=vals)
+        info("exact top-k written", dir=str(out), count=len(sources))
+        print(timers.report(), file=sys.stderr)
+        return 0
+
+    dg = to_device(g)
+
+    if args.action == "build":
+        from . import index as widx
+        key = jax.random.key(args.seed)
+        with timers.phase("build"):
+            idx = widx.build_walk_index(dg, rcfg, key)
+        widx.save(idx, rcfg, _index_dir(args))
+        info("index built", dir=_index_dir(args),
+             endpoints=int(np.asarray(idx.counts).sum()),
+             bytes=widx.index_nbytes(np.asarray(idx.counts)))
+        print(timers.report(), file=sys.stderr)
+        return 0
+
+    # --- query actions ---
+    sources = query_io.load_queries(str(_query_file(args)))
+    idx = None
+    if args.with_idx:
+        from . import index as widx
+        idx = widx.load(_index_dir(args), rcfg)
+        info("index loaded", dir=_index_dir(args))
+
+    exact_dir = Path(args.prefix) / args.dataset / "exact"
+    key = jax.random.key(args.seed)
+    results = {}
+
+    if args.action in ("query",):
+        from .algo import fora as fora_algo
+        from .algo import montecarlo as mc_algo
+        from .ops import push as push_ops
+        from .ops import topk as topk_ops
+        if args.algo == "fora":
+            fn = fora_algo.make_fora_fn(dg, rcfg, index=idx)
+            run = lambda s, k: fn(s, k).ppr
+        elif args.algo == "montecarlo":
+            fn = mc_algo.make_montecarlo_fn(dg, rcfg)
+            run = fn
+        else:  # fwdpush
+            run = jax.jit(lambda s, k: push_ops.push_only_estimate(
+                dg, s, rmax=rcfg.rmax / max(rcfg.omega_unit, 1.0),
+                alpha=rcfg.alpha, max_iters=2000))
+        for chunk, valid in _batched(sources, args.batch):
+            ppr = timers.timed("query", run, jnp.asarray(chunk),
+                               jax.random.fold_in(key, int(chunk[0])))
+            vals, ids = topk_ops.topk_nodes(ppr, args.k)
+            for b in range(valid):
+                results[int(chunk[b])] = (np.asarray(ids[b]),
+                                          np.asarray(vals[b]))
+    else:  # topk / batch-topk
+        from .algo import topk as topk_algo
+        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+        for chunk, valid in _batched(sources, args.batch):
+            res = timers.timed("topk", runner.query, jnp.asarray(chunk),
+                               jax.random.fold_in(key, int(chunk[0])))
+            for b in range(valid):
+                results[int(chunk[b])] = (res.node_ids[b], res.values[b])
+
+    n_q = len(results)
+    qps = n_q / max(timers.total.get("query", 0) + timers.total.get("topk", 0),
+                    1e-9)
+    info("queries done", count=n_q, qps=f"{qps:.2f}")
+
+    if args.eval_exact:
+        from .algo import exact
+        precs = []
+        for s, (ids, _) in results.items():
+            f = exact_dir / f"{s}.npz"
+            if f.exists():
+                ex_ids = np.load(f)["ids"][: args.k]
+            else:
+                ex_ids = exact.exact_topk(g, s, args.k, alpha=args.alpha)[0]
+            precs.append(metrics.precision_at_k(ids[: args.k], ex_ids))
+        info("precision", at_k=args.k, mean=f"{float(np.mean(precs)):.4f}")
+        log.event("eval", precision_at_k=float(np.mean(precs)), k=args.k,
+                  queries=n_q, qps=qps, timers=timers.as_dict())
+    else:
+        log.event("run", queries=n_q, qps=qps, timers=timers.as_dict())
+
+    print(timers.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

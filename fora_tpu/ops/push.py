@@ -1,0 +1,95 @@
+"""Forward-push propagation as batched masked SpMV supersteps.
+
+The reference implements push as a sequential frontier queue with
+pointer-chasing over adjacency lists [R: algo.h forward_local_update_linear —
+reconstruction, SURVEY.md Sec. 3.1 HOT LOOP 1].  The TPU-native formulation
+replaces the queue with a *mask*: every superstep processes all currently
+over-threshold nodes at once (Jacobi relaxation instead of the reference's
+Gauss-Seidel queue — both terminate at the same fixed point
+``r[v] <= rmax * out_deg[v]`` and preserve the FORA invariant
+``pi_s = p + sum_v r[v] * pi_v`` at every step).
+
+Superstep (node-major layout [n, B], B = query batch):
+    active  = r > rmax * out_deg            (dangling: active iff r > 0)
+    p      += alpha * r * active
+    contrib = (1 - alpha) * r * active / out_deg
+    r'      = r * !active + gather-sum_{u->v} contrib[u] + dangling_mass * e_s
+
+Dangling convention: out-degree-0 nodes are absorbing (self-loop), so their
+entire residue settles in place in one superstep (the geometric series of
+the self-loop, summed exactly) — consistent with the oracle and walk phases
+(see fora_tpu/algo/exact.py docstring).
+
+Iterated under ``lax.while_loop`` until no row is active (or max_iters).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import DeviceGraph
+
+
+class PushState(NamedTuple):
+    p: jnp.ndarray      # [n, B] f32 — settled probability mass
+    r: jnp.ndarray      # [n, B] f32 — residue
+    iters: jnp.ndarray  # [] i32
+
+
+def init_state(n: int, sources: jnp.ndarray) -> PushState:
+    """One-hot residue at each query's source. sources: [B] i32."""
+    B = sources.shape[0]
+    r0 = jnp.zeros((n, B), jnp.float32).at[sources, jnp.arange(B)].set(1.0)
+    return PushState(p=jnp.zeros((n, B), jnp.float32), r=r0,
+                     iters=jnp.zeros((), jnp.int32))
+
+
+def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
+               state: PushState) -> PushState:
+    n = graph.n
+    deg = graph.out_deg.astype(jnp.float32)[:, None]          # [n, 1]
+    dangling = deg == 0.0
+    active = state.r > rmax * deg                             # [n, B]
+    ar = jnp.where(active, state.r, 0.0)
+    # dangling absorbs its full residue (self-loop geometric series)
+    p = state.p + jnp.where(dangling, ar, alpha * ar)
+    contrib = jnp.where(dangling, 0.0,
+                        (1.0 - alpha) * ar / jnp.maximum(deg, 1.0))
+
+    edge_vals = contrib[graph.in_src]                          # [m, B] gather
+    delta = jax.ops.segment_sum(edge_vals, graph.in_dst, num_segments=n,
+                                indices_are_sorted=True)       # [n, B]
+    r = jnp.where(active, 0.0, state.r) + delta
+    return PushState(p=p, r=r, iters=state.iters + 1)
+
+
+def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
+                 alpha: float, max_iters: int = 200) -> PushState:
+    """Run supersteps until every node satisfies r <= rmax * out_deg.
+
+    Jit-safe: data-dependent termination via ``lax.while_loop`` on the
+    frontier predicate; no host round-trips (SURVEY.md Sec. 7.3).
+    """
+    deg = graph.out_deg.astype(jnp.float32)[:, None]
+    state0 = init_state(graph.n, sources)
+
+    def cond(s: PushState):
+        return jnp.logical_and(s.iters < max_iters,
+                               jnp.any(s.r > rmax * deg))
+
+    def body(s: PushState):
+        return _superstep(graph, rmax, alpha, s)
+
+    return jax.lax.while_loop(cond, body, state0)
+
+
+def push_only_estimate(graph: DeviceGraph, sources: jnp.ndarray, *,
+                       rmax: float, alpha: float,
+                       max_iters: int = 200) -> jnp.ndarray:
+    """Plain forward-push baseline (reference ``--algo fwdpush``): the
+    settled mass p alone, no walk refinement. Returns [n, B]."""
+    return forward_push(graph, sources, rmax=rmax, alpha=alpha,
+                        max_iters=max_iters).p

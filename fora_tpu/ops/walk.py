@@ -1,0 +1,144 @@
+"""Vectorized lockstep alpha-terminating random walks.
+
+The reference runs one walk at a time with SFMT and per-step stop coins
+[R: algo.h random_walk — reconstruction, SURVEY.md Sec. 3.1 HOT LOOP 2].
+TPU-native formulation (SURVEY.md Sec. 7.1):
+
+  * all walks advance one hop per step in lockstep, dead lanes masked;
+  * the per-step alpha-coin is replaced by a pre-sampled geometric walk
+    length (identical distribution, one RNG draw per walk instead of per
+    hop);
+  * neighbor choice is a uniform randint into the CSR row (the reference
+    samples uniformly too); an alias-table variant supports weighted
+    graphs with one extra gather + compare;
+  * RNG is counter-based ``jax.random`` (threefry) keyed per (query, hop)
+    — deterministic and splittable, no SFMT state to carry.
+
+Dangling convention: a walk at an out-degree-0 node is absorbed — it ends
+there regardless of remaining length — consistent with push/oracle and,
+crucially, source-independent (the FORA+ index precomputes these walks).
+
+Layout is walk-major [W, B]: W static walk lanes, B queries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import DeviceGraph
+
+
+class WalkAllocation(NamedTuple):
+    """Lane -> (start node, contribution weight) mapping for the combine
+    phase: node v gets omega_v = ceil(r_v * omega_unit) walks, each carrying
+    weight r_v / omega_v (FORA estimator, SURVEY.md Sec. 2.2)."""
+
+    start: jnp.ndarray    # [W, B] i32 — start node per lane
+    walk_idx: jnp.ndarray  # [W, B] i32 — walk number within its start node
+    weight: jnp.ndarray   # [W, B] f32 — contribution of this walk's endpoint
+    valid: jnp.ndarray    # [W, B] bool — lane < total walks for this query
+    total: jnp.ndarray    # [B] i32 — walks actually demanded
+    overflow: jnp.ndarray  # [B] bool — demanded more than W lanes
+
+
+def allocate_walks(r: jnp.ndarray, omega_unit: float, num_lanes: int
+                   ) -> WalkAllocation:
+    """Map ``num_lanes`` static lanes onto the per-node walk demand.
+
+    r: [n, B] residue after push. Lane i of query b serves the node whose
+    cumulative walk count first exceeds i (searchsorted over the int32
+    cumsum — exact, no f32 rounding).
+    """
+    omega_v = jnp.ceil(r * jnp.float32(omega_unit)).astype(jnp.int32)  # [n, B]
+    omega_v = jnp.where(r > 0, omega_v, 0)
+    cum = jnp.cumsum(omega_v, axis=0)                                  # [n, B]
+    total = cum[-1]                                                    # [B]
+    lanes = jnp.arange(num_lanes, dtype=jnp.int32)
+    start = jax.vmap(
+        lambda c: jnp.searchsorted(c, lanes, side="right"),
+        in_axes=1, out_axes=1)(cum).astype(jnp.int32)                  # [W, B]
+    start = jnp.minimum(start, r.shape[0] - 1)
+    valid = lanes[:, None] < jnp.minimum(total, num_lanes)[None, :]
+    r_v = jnp.take_along_axis(r, start, axis=0)
+    w_v = jnp.take_along_axis(omega_v, start, axis=0)
+    weight = jnp.where(valid, r_v / jnp.maximum(w_v, 1).astype(jnp.float32), 0.0)
+    # walk number within its node: lane - (walks demanded by earlier nodes)
+    first_lane = jnp.take_along_axis(cum, jnp.maximum(start - 1, 0), axis=0)
+    first_lane = jnp.where(start > 0, first_lane, 0)
+    walk_idx = lanes[:, None] - first_lane
+    return WalkAllocation(start=start, walk_idx=walk_idx, weight=weight,
+                          valid=valid, total=total,
+                          overflow=total > num_lanes)
+
+
+def geometric_lengths(key: jax.Array, shape, alpha: float,
+                      max_hops: int) -> jnp.ndarray:
+    """Number of hops before the alpha-coin stops the walk.
+
+    len = floor(log(u) / log(1-alpha)) ~ Geometric(alpha), P(len=0)=alpha.
+    Capping at max_hops truncates a (1-alpha)^max_hops tail (2e-7 for
+    alpha=.2, 64 hops).
+    """
+    u = jax.random.uniform(key, shape, minval=jnp.finfo(jnp.float32).tiny)
+    len_f = jnp.floor(jnp.log(u) * (1.0 / math.log1p(-alpha)))
+    return jnp.minimum(len_f, max_hops).astype(jnp.int32)
+
+
+def run_walks(graph: DeviceGraph, start: jnp.ndarray, key: jax.Array, *,
+              alpha: float, max_hops: int = 64,
+              alias_prob: Optional[jnp.ndarray] = None,
+              alias_other: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Advance all walks to termination; returns endpoints [W, B] i32.
+
+    start: [W, B] start node per lane.  With ``alias_prob``/``alias_other``
+    (per-edge-slot tables aligned with out-CSR), hops sample the weighted
+    distribution; otherwise uniform out-neighbor, like the reference.
+    """
+    W, B = start.shape
+    length = geometric_lengths(jax.random.fold_in(key, 0), (W, B), alpha,
+                               max_hops)
+    deg = graph.out_deg
+
+    def hop(h, cur):
+        u = jax.random.uniform(jax.random.fold_in(key, h + 1), (W, B))
+        d = deg[cur]                                          # [W, B] i32
+        alive = jnp.logical_and(h < length, d > 0)  # dangling absorbs
+        j = jnp.minimum((u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0))
+        slot = graph.out_indptr[cur] + j
+        nxt = graph.out_indices[slot]
+        if alias_prob is not None:
+            u2 = jax.random.uniform(jax.random.fold_in(key, -(h + 1)), (W, B))
+            nxt = jnp.where(u2 < alias_prob[slot], nxt, alias_other[slot])
+        return jnp.where(alive, nxt, cur)
+
+    return jax.lax.fori_loop(0, max_hops, hop, start)
+
+
+def accumulate_endpoints(endpoints: jnp.ndarray, weight: jnp.ndarray,
+                         n: int) -> jnp.ndarray:
+    """segment-sum walk weights into a [n, B] PPR contribution."""
+    def one(e, w):
+        return jax.ops.segment_sum(w, e, num_segments=n)
+    return jax.vmap(one, in_axes=1, out_axes=1)(endpoints, weight)
+
+
+def walk_lane_budget(omega_unit: float, rmax: float, m: int, n: int,
+                     cap: Optional[int] = None, slack: float = 1.10,
+                     lane_multiple: int = 1024) -> int:
+    """Static lane count for a (config, graph) pair.
+
+    After push, rsum <= min(1, rmax * m) (each edge holds at most rmax
+    residue per unit out-degree), and the ceil() in the per-node demand adds
+    at most one walk per touched node; n bounds touched nodes.
+    """
+    rsum_bound = min(1.0, rmax * m)
+    w = int(slack * omega_unit * rsum_bound) + min(n, int(omega_unit))
+    w = -(-w // lane_multiple) * lane_multiple
+    if cap is not None:
+        w = min(w, cap)
+    return max(w, lane_multiple)

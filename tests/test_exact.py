@@ -19,18 +19,18 @@ def test_cycle_closed_form():
     assert abs(pi.sum() - 1.0) < 1e-10
 
 
-def test_star_dangling_to_source():
-    """Star 0->{1..n-1}, leaves dangling -> all leaf mass restarts at 0.
+def test_star_dangling_absorbs():
+    """Star 0->{1..n-1}, leaves dangling (absorbing).
 
-    Closed form: pi(0) solves pi0 = a + (1-a)^2 * pi0  (source emits to
-    leaves, leaves bounce back), pi(leaf) = (1-a) * pi0 / (n-1).
+    Closed form: walk from 0 stops at 0 with the first alpha-coin (pi0 = a);
+    otherwise it moves to a uniform leaf and is absorbed there:
+    pi(leaf) = (1-a)/(n-1).
     """
     n, a = 6, 0.2
     g = generators.star_graph(n)
     pi = exact.exact_ppr_dense(g, 0, alpha=a)
-    pi0 = a / (1 - (1 - a) ** 2)
-    np.testing.assert_allclose(pi[0], pi0, rtol=1e-10)
-    np.testing.assert_allclose(pi[1:], (1 - a) * pi0 / (n - 1), rtol=1e-10)
+    np.testing.assert_allclose(pi[0], a, rtol=1e-10)
+    np.testing.assert_allclose(pi[1:], (1 - a) / (n - 1), rtol=1e-10)
     assert abs(pi.sum() - 1.0) < 1e-10
 
 

@@ -1,0 +1,94 @@
+"""End-to-end FORA tests: accuracy guarantee vs oracle, top-k refinement,
+Monte-Carlo competitor (SURVEY.md Sec. 4 statistical strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fora_tpu.algo import exact, fora, montecarlo, topk as topk_algo
+from fora_tpu.config import ForaConfig
+from fora_tpu.eval import metrics
+from fora_tpu.graph import generators, to_device
+from fora_tpu.ops import topk as topk_ops
+
+
+def test_fora_karate_accuracy():
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    fn = fora.make_fora_fn(dg, rcfg)
+    sources = jnp.array([0, 16, 33])
+    res = fn(sources, jax.random.key(0))
+    assert not bool(res.walk_overflow.any())
+    ppr = np.asarray(res.ppr, dtype=np.float64)
+    for b, s in enumerate([0, 16, 33]):
+        pi = exact.exact_ppr_dense(g, int(s))
+        # guarantee: relative error <= eps on pi > delta (whp; fixed seed)
+        assert metrics.max_relative_error(ppr[:, b], pi, rcfg.delta) <= 0.5
+        # precision@5 vs oracle
+        vals, idx = topk_ops.topk_nodes(res.ppr, 5)
+        assert metrics.precision_at_k(np.asarray(idx[b]),
+                                      exact.exact_topk(g, int(s), 5)[0]) >= 0.8
+
+
+def test_fora_er_batch_precision():
+    g = generators.erdos_renyi(500, 5000, seed=11)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    fn = fora.make_fora_fn(dg, rcfg)
+    sources = np.array([3, 77, 200, 412])
+    res = fn(jnp.asarray(sources), jax.random.key(1))
+    vals, idx = topk_ops.topk_nodes(res.ppr, 10)
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 10)[0] for s in sources])
+    assert metrics.batch_precision_at_k(np.asarray(idx), exact_ids) >= 0.9
+
+
+def test_fora_estimate_unbiased_mass():
+    """Total estimated mass ~ 1 (p-mass + walk weights = 1 exactly)."""
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    fn = fora.make_fora_fn(dg, rcfg)
+    res = fn(jnp.array([4]), jax.random.key(2))
+    np.testing.assert_allclose(float(res.ppr.sum()), 1.0, rtol=1e-4)
+
+
+def test_topk_runner_karate():
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=5).resolved(g.n, g.m)
+    runner = topk_algo.TopkRunner(dg, rcfg)
+    res = runner.query(jnp.array([0, 33]), jax.random.key(3))
+    for b, s in enumerate([0, 33]):
+        ex_ids, _ = exact.exact_topk(g, s, 5)
+        assert metrics.precision_at_k(res.node_ids[b], ex_ids) >= 0.8
+    assert res.levels_used <= len(runner.deltas)
+
+
+def test_topk_delta_schedule():
+    rcfg = ForaConfig(epsilon=0.5, k=50).resolved(10_000, 100_000)
+    sched = topk_algo.delta_schedule(rcfg, 50)
+    assert sched[0] == 1.0 / 50
+    assert sched[-1] == rcfg.delta
+    assert all(a > b for a, b in zip(sched, sched[1:]))
+
+
+def test_montecarlo_matches_exact():
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, delta=0.01, pfail=0.01).resolved(g.n, g.m)
+    fn = montecarlo.make_montecarlo_fn(dg, rcfg, max_walks=100_000)
+    est = np.asarray(fn(jnp.array([0]), jax.random.key(4)))[:, 0]
+    pi = exact.exact_ppr_dense(g, 0)
+    # omega ~ 5k walks from the config derivation -> expected L1 ~ 0.045
+    assert np.abs(est - pi).sum() < 0.12
+
+
+def test_fora_deterministic_given_key():
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    fn = fora.make_fora_fn(dg, rcfg)
+    a = fn(jnp.array([7]), jax.random.key(5))
+    b = fn(jnp.array([7]), jax.random.key(5))
+    assert np.array_equal(np.asarray(a.ppr), np.asarray(b.ppr))

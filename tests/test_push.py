@@ -1,0 +1,66 @@
+"""Push-phase tests: termination, mass conservation, the FORA invariant,
+and push-only estimates vs the dense oracle (SURVEY.md Sec. 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fora_tpu.algo import exact
+from fora_tpu.graph import generators, to_device
+from fora_tpu.ops import push as push_ops
+
+
+def _ppr_matrix(g, alpha=0.2):
+    """Exact PPR from every source; rows indexed by source."""
+    return np.stack([exact.exact_ppr_dense(g, s, alpha) for s in range(g.n)])
+
+
+def test_push_terminates_below_threshold():
+    g = generators.karate_club()
+    dg = to_device(g)
+    rmax = 1e-3
+    st = push_ops.forward_push(dg, jnp.array([0, 5, 33]), rmax=rmax, alpha=0.2)
+    r = np.asarray(st.r)
+    deg = np.asarray(g.out_deg, dtype=np.float64)
+    assert np.all(r.T <= rmax * deg + 1e-7)
+    assert int(st.iters) < 200
+
+
+def test_push_conserves_mass():
+    g = generators.star_graph(8)  # exercises dangling -> source
+    dg = to_device(g)
+    st = push_ops.forward_push(dg, jnp.array([0, 3]), rmax=1e-4, alpha=0.2)
+    total = np.asarray(st.p + st.r).sum(axis=0)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-5)
+
+
+def test_fora_invariant():
+    """pi_s = p + sum_v r[v] * pi_v  must hold after push (paper Sec. 3)."""
+    g = generators.karate_club()  # no dangling: pi_v is source-independent
+    dg = to_device(g)
+    P = _ppr_matrix(g)
+    for rmax in (1e-2, 1e-4):
+        st = push_ops.forward_push(dg, jnp.array([0, 17]), rmax=rmax, alpha=0.2)
+        p, r = np.asarray(st.p, dtype=np.float64), np.asarray(st.r, dtype=np.float64)
+        for b, s in enumerate((0, 17)):
+            reconstructed = p[:, b] + r[:, b] @ P
+            np.testing.assert_allclose(reconstructed,
+                                       exact.exact_ppr_dense(g, s),
+                                       atol=1e-5)
+
+
+def test_push_only_estimate_converges():
+    g = generators.karate_club()
+    dg = to_device(g)
+    est = np.asarray(push_ops.push_only_estimate(
+        dg, jnp.array([0]), rmax=1e-7, alpha=0.2, max_iters=500))[:, 0]
+    np.testing.assert_allclose(est, exact.exact_ppr_dense(g, 0), atol=1e-4)
+
+
+def test_push_batch_independent_of_batching():
+    """Query results must not depend on which batch they run in."""
+    g = generators.erdos_renyi(128, 512, seed=9)
+    dg = to_device(g)
+    single = push_ops.forward_push(dg, jnp.array([7]), rmax=1e-4, alpha=0.2)
+    batch = push_ops.forward_push(dg, jnp.array([3, 7, 11]), rmax=1e-4, alpha=0.2)
+    np.testing.assert_allclose(np.asarray(single.p[:, 0]),
+                               np.asarray(batch.p[:, 1]), atol=1e-6)
