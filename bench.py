@@ -1,0 +1,227 @@
+"""Benchmark driver: batched top-k PPR queries/sec on one chip.
+
+Prints ONE JSON line on stdout:
+  {"metric": "topk_queries_per_sec_per_chip", "value": N,
+   "unit": "queries/s", "vs_baseline": N, ...extras}
+
+``vs_baseline`` compares against the single-threaded C++ FORA baseline
+(baselines/cpp) run on this machine over the same graph/queries/config —
+standing in for the upstream reference binary, whose mount shipped empty
+(SURVEY.md header) and whose BASELINE.json has no published numbers.
+
+The benchmark graph is RMAT (power-law, LiveJournal-like skew); scale via
+env:
+  FORA_BENCH_NLOG2   log2(nodes)          default 19   (524K nodes)
+  FORA_BENCH_EDGEF   edges per node       default 16
+  FORA_BENCH_BATCH   sources per batch    default 32
+  FORA_BENCH_QUERIES total queries        default 128
+  FORA_BENCH_K       top-k                default 50
+  FORA_BENCH_EPS     epsilon              default 0.5
+  FORA_BENCH_EVAL    queries scored vs exact oracle, default 16
+  FORA_BENCH_CPPQ    queries for the C++ baseline, default 8
+  FORA_BENCH_CACHE   cache dir            default bench_data
+  FORA_BENCH_INDEX   1 = FORA+ indexed walks (default 1)
+Everything heavy (graph, ground truth, C++ run) is cached in
+FORA_BENCH_CACHE keyed by the scale parameters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def env_int(k, d):
+    return int(os.environ.get(k, d))
+
+
+NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
+EDGEF = env_int("FORA_BENCH_EDGEF", 16)
+BATCH = env_int("FORA_BENCH_BATCH", 32)
+QUERIES = env_int("FORA_BENCH_QUERIES", 128)
+K = env_int("FORA_BENCH_K", 50)
+EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))
+EVAL_N = env_int("FORA_BENCH_EVAL", 16)
+CPPQ = env_int("FORA_BENCH_CPPQ", 8)
+CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
+USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
+SEED = 7
+
+TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def get_graph():
+    from fora_tpu.graph import generators
+    from fora_tpu.graph.csr import CSRGraph
+    f = CACHE / f"{TAG}.npz"
+    if f.exists():
+        z = np.load(f)
+        return CSRGraph(**{k: z[k] for k in CSRGraph._fields})
+    log(f"generating RMAT n=2^{NLOG2}, m={EDGEF}*n ...")
+    t0 = time.time()
+    g = generators.rmat(NLOG2, (1 << NLOG2) * EDGEF, seed=SEED)
+    CACHE.mkdir(parents=True, exist_ok=True)
+    np.savez(f, **g._asdict())
+    log(f"generated in {time.time()-t0:.1f}s")
+    return g
+
+
+def get_sources(g):
+    from fora_tpu.eval import queries as qio
+    return qio.generate_sources(g, QUERIES, seed=SEED + 1)
+
+
+def get_exact(g, sources):
+    """Exact top-K ids for the first EVAL_N sources (cached)."""
+    from fora_tpu.algo import exact
+    f = CACHE / f"{TAG}.exact{EVAL_N}.npz"
+    if f.exists():
+        return np.load(f)["ids"]
+    log(f"computing exact PPR for {EVAL_N} sources (power iteration)...")
+    t0 = time.time()
+    ids = np.stack([exact.exact_topk(g, int(s), K)[0]
+                    for s in sources[:EVAL_N]])
+    np.savez(f, ids=ids)
+    log(f"exact done in {time.time()-t0:.1f}s")
+    return ids
+
+
+def export_graph_bin(g):
+    f = CACHE / f"{TAG}.bin"
+    if not f.exists():
+        with open(f, "wb") as fh:
+            np.array([g.n, g.m], dtype=np.int64).tofile(fh)
+            np.asarray(g.out_indptr, dtype=np.int64).tofile(fh)
+            np.asarray(g.out_indices, dtype=np.int32).tofile(fh)
+    return f
+
+
+def run_cpp_baseline(g, sources):
+    """Returns (qps, topk_ids or None). Cached per (TAG, EPS, K, CPPQ)."""
+    cache = CACHE / f"{TAG}.cpp.e{EPS}.k{K}.q{CPPQ}.json"
+    if cache.exists():
+        d = json.loads(cache.read_text())
+        return d["qps"], np.array(d["ids"]) if d.get("ids") else None
+    binp = Path("baselines/cpp/fora_baseline")
+    if not binp.exists():
+        r = subprocess.run(["make", "-C", "baselines/cpp"], capture_output=True)
+        if r.returncode != 0:
+            log("C++ baseline build failed; vs_baseline will be null")
+            return None, None
+    gbin = export_graph_bin(g)
+    qf = CACHE / f"{TAG}.cppq.txt"
+    qf.write_text("".join(f"{int(s)}\n" for s in sources[:CPPQ]))
+    out = CACHE / f"{TAG}.cppout.txt"
+    log(f"running C++ baseline on {CPPQ} queries ...")
+    t0 = time.time()
+    r = subprocess.run([str(binp), str(gbin), str(qf), str(EPS), str(K),
+                        str(out)], capture_output=True, text=True,
+                       timeout=36000)
+    if r.returncode != 0:
+        log(f"C++ baseline failed: {r.stderr[-400:]}")
+        return None, None
+    qps = float(r.stdout.split("qps=")[1])
+    log(f"C++ baseline: {r.stdout.strip()}  ({time.time()-t0:.1f}s)")
+    ids = [list(map(int, line.split()[1:]))
+           for line in out.read_text().splitlines()]
+    ids = [row + [-1] * (K - len(row)) for row in ids]
+    cache.write_text(json.dumps({"qps": qps, "ids": ids}))
+    return qps, np.array(ids)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fora_tpu.algo import topk as topk_algo
+    from fora_tpu.config import ForaConfig
+    from fora_tpu.eval import metrics
+    from fora_tpu.graph import to_device
+    from fora_tpu import index as widx
+
+    g = get_graph()
+    sources = get_sources(g)
+    log(f"graph n={g.n} m={g.m}; device={jax.devices()[0].device_kind}")
+
+    cfg = ForaConfig(epsilon=EPS, k=K)
+    rcfg = cfg.resolved(g.n, g.m)
+    dg = to_device(g)
+
+    index = None
+    if USE_INDEX:
+        idx_dir = CACHE / f"{TAG}.idx.e{EPS}"
+        if (idx_dir / "meta.json").exists():
+            index = widx.load(str(idx_dir), rcfg)
+        else:
+            log("building FORA+ walk index ...")
+            t0 = time.time()
+            index = widx.build_walk_index(dg, rcfg, jax.random.key(SEED))
+            widx.save(index, rcfg, str(idx_dir))
+            log(f"index built in {time.time()-t0:.1f}s "
+                f"({int(np.asarray(index.counts).sum())} endpoints)")
+
+    runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index)
+    key = jax.random.key(SEED + 2)
+    src_batches = [jnp.asarray(sources[i:i + BATCH])
+                   for i in range(0, QUERIES, BATCH)
+                   if i + BATCH <= QUERIES]
+
+    # warmup: compile all delta levels once
+    log("warmup/compile ...")
+    t0 = time.time()
+    warm = runner.query(src_batches[0], jax.random.fold_in(key, 999))
+    log(f"warmup done in {time.time()-t0:.1f}s "
+        f"(levels compiled: {warm.levels_used})")
+
+    log(f"timing {len(src_batches)} batches of {BATCH} ...")
+    results = {}
+    t0 = time.time()
+    for i, sb in enumerate(src_batches):
+        res = runner.query(sb, jax.random.fold_in(key, i))
+        for b, s in enumerate(np.asarray(sb)):
+            results[int(s)] = res.node_ids[b]
+    elapsed = time.time() - t0
+    n_q = len(src_batches) * BATCH
+    qps = n_q / elapsed
+    log(f"ours: {n_q} queries in {elapsed:.2f}s -> {qps:.1f} q/s")
+
+    exact_ids = get_exact(g, sources)
+    prec = metrics.batch_precision_at_k(
+        np.stack([results[int(s)] for s in sources[:EVAL_N]]), exact_ids)
+    log(f"precision@{K} vs exact: {prec:.4f}")
+
+    cpp_qps, cpp_ids = run_cpp_baseline(g, sources)
+    cpp_prec = None
+    if cpp_ids is not None:
+        ncmp = min(len(cpp_ids), EVAL_N)
+        cpp_prec = metrics.batch_precision_at_k(cpp_ids[:ncmp],
+                                                exact_ids[:ncmp])
+        log(f"C++ baseline: {cpp_qps:.2f} q/s, precision {cpp_prec:.4f}")
+
+    out = {
+        "metric": "topk_queries_per_sec_per_chip",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / cpp_qps, 2) if cpp_qps else None,
+        "precision_at_k": round(prec, 4),
+        "baseline_qps": cpp_qps,
+        "baseline_precision_at_k": cpp_prec,
+        "k": K, "epsilon": EPS, "graph": TAG, "n": g.n, "m": g.m,
+        "batch": BATCH, "queries": n_q, "indexed": bool(USE_INDEX),
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Sharded FORA pipeline: shard_map over the ('graph', 'query') mesh.
+
+Parallel decomposition (SURVEY.md Sec. 2.3):
+
+  * 'query' axis — data parallelism over batched sources (embarrassingly
+    parallel; replaces the reference's sequential batch loop).
+  * 'graph' axis — rows (nodes) sharded; the push superstep is a local
+    gather + segment_sum over the shard's in-edges, preceded by an
+    all_gather of the per-row contribution vector over ICI (the frontier
+    exchange).  Walk lanes run shard-local from the shard's own residues
+    (so FORA+ index lookups never leave the shard — the Ulysses/EP-style
+    locality trick), and endpoint mass is combined with one
+    psum_scatter back to row owners.
+  * top-k — per-shard top-k of owned rows, then an all_gather of k
+    candidates per shard and a final top-k of G*k (k is small).
+
+Collectives used: all_gather / psum_scatter / psum over 'graph' — all XLA
+collectives riding ICI; nothing crosses 'query'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ResolvedConfig
+from ..graph.csr import CSRGraph, DeviceGraph
+from ..ops import walk as walk_ops
+from . import partition as part
+from .mesh import GRAPH_AXIS, QUERY_AXIS, shard_map
+
+P = jax.sharding.PartitionSpec
+
+
+class ShardedTopkResult(NamedTuple):
+    values: jnp.ndarray    # [B, k] f32, descending
+    node_ids: jnp.ndarray  # [B, k] i32, global ids
+    push_iters: jnp.ndarray  # [] i32
+    walk_overflow: jnp.ndarray  # [B] bool
+
+
+def _shard_fora_topk(
+    # dynamic args (order matters; see in_specs in make_sharded_topk_fn)
+    sources,          # [Bq] i32, sharded over 'query'
+    key,              # key, replicated
+    in_src,           # [m_loc] i32 (global, padded-src=0)
+    in_dst,           # [m_loc] i32 (local, pad=n_loc)
+    deg_loc,          # [n_loc] i32
+    out_indptr,       # [n_pad+1] i32 replicated
+    out_indices,      # [m] i32 replicated
+    out_deg,          # [n_pad] i32 replicated
+    idx_endpoints,    # [e_loc] i32 (or dummy [1])
+    idx_offsets,      # [n_loc] i32 (or dummy)
+    idx_counts,       # [n_loc] i32 (or dummy)
+    *, rcfg: ResolvedConfig, n_loc: int, num_lanes_loc: int, k: int,
+    use_index: bool,
+):
+    g_id = jax.lax.axis_index(GRAPH_AXIS)
+    Bq = sources.shape[0]
+    row0 = g_id * n_loc
+
+    deg_f = deg_loc.astype(jnp.float32)[:, None]              # [n_loc, 1]
+    dangling = deg_f == 0.0
+    rmax, alpha = rcfg.rmax, rcfg.alpha
+
+    # --- init: one-hot residue on the owning shard ---
+    local = sources - row0
+    own = jnp.logical_and(local >= 0, local < n_loc)
+    r0 = jnp.zeros((n_loc, Bq), jnp.float32).at[
+        jnp.where(own, local, 0), jnp.arange(Bq)].add(
+        jnp.where(own, 1.0, 0.0))
+    p0 = jnp.zeros((n_loc, Bq), jnp.float32)
+
+    def frontier_count(r):
+        return jax.lax.psum(jnp.sum((r > rmax * deg_f).astype(jnp.int32)),
+                            GRAPH_AXIS)
+
+    def cond(st):
+        p, r, it, flag = st
+        return jnp.logical_and(it < rcfg.max_push_iters, flag > 0)
+
+    def body(st):
+        p, r, it, _ = st
+        active = r > rmax * deg_f
+        ar = jnp.where(active, r, 0.0)
+        p = p + jnp.where(dangling, ar, alpha * ar)
+        contrib = jnp.where(dangling, 0.0,
+                            (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
+        # frontier exchange: every shard needs contributions of all rows
+        contrib_full = jax.lax.all_gather(contrib, GRAPH_AXIS,
+                                          axis=0, tiled=True)  # [n_pad, Bq]
+        vals = contrib_full[in_src]                            # [m_loc, Bq]
+        delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
+                                    indices_are_sorted=True)[:n_loc]
+        r = jnp.where(active, 0.0, r) + delta
+        return (p, r, it + 1, frontier_count(r))
+
+    p, r, iters, _ = jax.lax.while_loop(
+        cond, body, (p0, r0, jnp.zeros((), jnp.int32), frontier_count(r0)))
+
+    # --- walk phase: shard-local lanes from shard-local residues ---
+    alloc = walk_ops.allocate_walks(r, rcfg.omega_unit, num_lanes_loc)
+    if use_index:
+        cnt = idx_counts[alloc.start]
+        j = jnp.where(cnt > 0, alloc.walk_idx % jnp.maximum(cnt, 1), 0)
+        endpoints = idx_endpoints[idx_offsets[alloc.start] + j]
+        endpoints = jnp.where(cnt > 0, endpoints, alloc.start + row0)
+    else:
+        walk_graph = DeviceGraph(out_indptr=out_indptr,
+                                 out_indices=out_indices,
+                                 in_src=in_src, in_dst=in_dst,  # unused
+                                 out_deg=out_deg)
+        endpoints = walk_ops.run_walks(
+            walk_graph, alloc.start + row0,
+            jax.random.fold_in(key, g_id), alpha=alpha,
+            max_hops=rcfg.max_walk_hops)
+
+    n_pad = out_deg.shape[0]
+    contrib_all = walk_ops.accumulate_endpoints(endpoints, alloc.weight,
+                                                n_pad)     # [n_pad, Bq]
+    walk_loc = jax.lax.psum_scatter(contrib_all, GRAPH_AXIS,
+                                    scatter_dimension=0, tiled=True)
+    ppr_loc = p + walk_loc                                    # [n_loc, Bq]
+
+    # --- top-k merge: k local candidates -> all_gather -> global top-k ---
+    lvals, lids = jax.lax.top_k(ppr_loc.T, k)                 # [Bq, k]
+    gids = lids + row0
+    cand_v = jax.lax.all_gather(lvals, GRAPH_AXIS, axis=1, tiled=True)
+    cand_i = jax.lax.all_gather(gids, GRAPH_AXIS, axis=1, tiled=True)
+    fvals, sel = jax.lax.top_k(cand_v, k)
+    fids = jnp.take_along_axis(cand_i, sel, axis=1)
+
+    overflow = jax.lax.psum(alloc.overflow.astype(jnp.int32), GRAPH_AXIS) > 0
+    return fvals, fids, iters, overflow
+
+
+class ShardedForaEngine:
+    """Holds device-placed sharded graph (+ index) and the jitted topk fn.
+
+    ``batch`` is the global batch; it must divide evenly by the mesh's
+    'query' axis.
+    """
+
+    def __init__(self, g: CSRGraph, mesh: jax.sharding.Mesh,
+                 rcfg: ResolvedConfig, *, k: Optional[int] = None,
+                 index=None, num_lanes: Optional[int] = None,
+                 max_lanes: int = 1 << 23, lane_slack: float = 2.0):
+        self.mesh = mesh
+        self.rcfg = rcfg
+        self.k = k if k is not None else rcfg.k
+        G = mesh.shape[GRAPH_AXIS]
+        pg = part.partition_rows(g, G)
+        self.pg = pg
+
+        if num_lanes is None:
+            num_lanes = walk_ops.walk_lane_budget(
+                rcfg.omega_unit, rcfg.rmax, rcfg.m, rcfg.n, cap=max_lanes)
+        # per-shard lanes: balanced share plus slack for row skew
+        self.num_lanes_loc = max(
+            1024, int(num_lanes * lane_slack / G) // 1024 * 1024)
+
+        def put(x, spec):
+            return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+        gspec, rep = P(GRAPH_AXIS), P()
+        self._args = [
+            put(pg.in_src_global, gspec), put(pg.in_dst_local, gspec),
+            put(pg.out_deg_sharded, gspec),
+            put(pg.out_indptr, rep), put(pg.out_indices, rep),
+            put(pg.out_deg, rep),
+        ]
+        self.use_index = index is not None
+        if self.use_index:
+            pi = part.partition_index(index.endpoints, index.offsets,
+                                      index.counts, G, pg.n_loc)
+            self._args += [put(pi.endpoints, gspec), put(pi.offsets, gspec),
+                           put(pi.counts, gspec)]
+        else:
+            dummy = np.zeros(G, dtype=np.int32)
+            self._args += [put(dummy, gspec)] * 3
+
+        fn = functools.partial(
+            _shard_fora_topk, rcfg=rcfg, n_loc=pg.n_loc,
+            num_lanes_loc=self.num_lanes_loc, k=self.k,
+            use_index=self.use_index)
+        mapped = shard_map(
+            fn, mesh,
+            in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,
+                      rep, rep, rep, gspec, gspec, gspec),
+            out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
+        self._jitted = jax.jit(mapped)
+        self._src_sharding = jax.sharding.NamedSharding(mesh, P(QUERY_AXIS))
+
+    def topk(self, sources, key) -> ShardedTopkResult:
+        sources = jax.device_put(jnp.asarray(sources, jnp.int32),
+                                 self._src_sharding)
+        v, i, it, ov = self._jitted(sources, key, *self._args)
+        return ShardedTopkResult(values=v, node_ids=i, push_iters=it,
+                                 walk_overflow=ov)

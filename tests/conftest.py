@@ -1,14 +1,15 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set env before jax initializes (SURVEY.md Sec. 4: distributed-without-
-a-cluster — the exact shard_map code paths run on one host this way).
+SURVEY.md Sec. 4 (distributed-without-a-cluster): the sharded shard_map
+code paths run on one host over 8 virtual CPU devices.
+
+The image's sitecustomize imports jax and pins ``jax_platforms=axon,cpu``
+at interpreter start (so plain env vars are too late), but the backend
+itself initializes lazily — overriding via jax.config here, before any
+test touches a device, reliably lands tests on the 8-CPU mesh.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,95 @@
+"""Sharded-pipeline tests on the virtual 8-device CPU mesh (SURVEY.md Sec. 4:
+distributed-without-a-cluster via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fora_tpu import index as widx
+from fora_tpu.algo import exact
+from fora_tpu.config import ForaConfig
+from fora_tpu.eval import metrics
+from fora_tpu.graph import generators, to_device
+from fora_tpu.parallel import (ShardedForaEngine, make_mesh, partition_rows,
+                               partition_index)
+
+
+def _graph_and_cfg(n=300, m=3000, seed=21, eps=0.5):
+    g = generators.erdos_renyi(n, m, seed=seed)
+    rcfg = ForaConfig(epsilon=eps).resolved(g.n, g.m)
+    return g, rcfg
+
+
+def test_partition_rows_covers_all_edges():
+    g, _ = _graph_and_cfg()
+    pg = partition_rows(g, 4)
+    # every real edge appears exactly once with a correctly localized dst
+    seen = []
+    for s in range(4):
+        src = pg.in_src_global[s * pg.m_loc:(s + 1) * pg.m_loc]
+        dst = pg.in_dst_local[s * pg.m_loc:(s + 1) * pg.m_loc]
+        real = dst < pg.n_loc
+        seen += list(zip(src[real].tolist(),
+                         (dst[real] + s * pg.n_loc).tolist()))
+    assert sorted(seen) == sorted(zip(g.in_src.tolist(), g.in_dst.tolist()))
+
+
+def test_partition_index_roundtrip():
+    g, rcfg = _graph_and_cfg(n=100, m=800)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(0))
+    pg = partition_rows(g, 4)
+    pi = partition_index(idx.endpoints, idx.offsets, idx.counts, 4, pg.n_loc)
+    off = np.asarray(idx.offsets)
+    cnt = np.asarray(idx.counts)
+    ends = np.asarray(idx.endpoints)
+    for v in range(g.n):
+        s, lv = v // pg.n_loc, v % pg.n_loc
+        a = ends[off[v]: off[v] + cnt[v]]
+        o = pi.offsets[s * pg.n_loc + lv]
+        c = pi.counts[s * pg.n_loc + lv]
+        b = pi.endpoints[s * pi.e_loc + o: s * pi.e_loc + o + c]
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_topk_matches_oracle(mesh_shape):
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(*mesh_shape)
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10)
+    B = 8
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    res = eng.topk(jnp.asarray(sources), jax.random.key(1))
+    assert not bool(np.asarray(res.walk_overflow).any())
+    ids = np.asarray(res.node_ids)
+    vals = np.asarray(res.values)
+    assert np.all(np.diff(vals, axis=1) <= 1e-7)
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 10)[0]
+                          for s in sources])
+    assert metrics.batch_precision_at_k(ids, exact_ids) >= 0.85
+
+
+def test_sharded_matches_single_device():
+    """Same seed, same mesh split over graph only -> deterministic result,
+    and consistent accuracy with the unsharded engine."""
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(4, 2)
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10)
+    r1 = eng.topk(jnp.arange(8), jax.random.key(5))
+    r2 = eng.topk(jnp.arange(8), jax.random.key(5))
+    assert np.array_equal(np.asarray(r1.node_ids), np.asarray(r2.node_ids))
+
+
+def test_sharded_with_index():
+    g, rcfg = _graph_and_cfg()
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    mesh = make_mesh(4, 2)
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10, index=idx)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    res = eng.topk(jnp.asarray(sources), jax.random.key(3))
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 10)[0]
+                          for s in sources])
+    assert metrics.batch_precision_at_k(np.asarray(res.node_ids),
+                                        exact_ids) >= 0.85
