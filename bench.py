@@ -42,6 +42,14 @@ def env_int(k, d):
     return int(os.environ.get(k, d))
 
 
+# persistent XLA compile cache (TPU compiles go through a slow remote
+# tunnel in this image); must be set before jax initializes
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(os.environ.get("FORA_BENCH_CACHE", "bench_data")) / "jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
 NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
 BATCH = env_int("FORA_BENCH_BATCH", 32)

@@ -41,19 +41,29 @@ class ForaResult(NamedTuple):
 
 def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
                rcfg: ResolvedConfig, num_lanes: int,
+               rmax=None, omega_unit=None,
                index_endpoints: Optional[jnp.ndarray] = None,
                index_offsets: Optional[jnp.ndarray] = None,
                index_counts: Optional[jnp.ndarray] = None) -> ForaResult:
     """Batched FORA estimate. sources: [B] i32; returns node-major ppr.
 
+    ``rmax``/``omega_unit`` may be traced scalars (they enter elementwise
+    math only), so one compiled program serves every delta level of the
+    top-k refinement — only ``num_lanes`` is shape-defining.  They default
+    to the rcfg constants.
+
     When ``index_*`` is given (FORA+ walk index, SURVEY.md Sec. 2.1), the
     walk phase becomes endpoint-table lookups: lane j of node v reads
     endpoint (j mod count_v) from v's precomputed pool.
     """
-    st = push_ops.forward_push(graph, sources, rmax=rcfg.rmax,
+    if rmax is None:
+        rmax = rcfg.rmax
+    if omega_unit is None:
+        omega_unit = rcfg.omega_unit
+    st = push_ops.forward_push(graph, sources, rmax=rmax,
                                alpha=rcfg.alpha,
                                max_iters=rcfg.max_push_iters)
-    alloc = walk_ops.allocate_walks(st.r, rcfg.omega_unit, num_lanes)
+    alloc = walk_ops.allocate_walks(st.r, omega_unit, num_lanes)
 
     if index_endpoints is not None:
         # FORA+: lane j for node v -> precomputed endpoint[offset_v + j % K_v]
@@ -80,14 +90,28 @@ def make_fora_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
     if num_lanes is None:
         num_lanes = walk_ops.walk_lane_budget(
             rcfg.omega_unit, rcfg.rmax, rcfg.m, rcfg.n, cap=max_lanes)
+    param = make_fora_param_fn(graph, rcfg, num_lanes, index=index)
+
+    def fn(sources, key):
+        return param(sources, key, jnp.float32(rcfg.rmax),
+                     jnp.float32(rcfg.omega_unit))
+
+    return fn
+
+
+def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
+                       num_lanes: int, index=None):
+    """Jitted ``(sources, key, rmax, omega_unit) -> ForaResult`` with the
+    guarantee parameters as runtime scalars (one compile per lane bucket)."""
     kw = {}
     if index is not None:
         kw = dict(index_endpoints=index.endpoints, index_offsets=index.offsets,
                   index_counts=index.counts)
 
     @jax.jit
-    def fn(sources, key):
+    def fn(sources, key, rmax, omega_unit):
         return fora_query(graph, sources, key, rcfg=rcfg,
-                          num_lanes=num_lanes, **kw)
+                          num_lanes=num_lanes, rmax=rmax,
+                          omega_unit=omega_unit, **kw)
 
     return fn

@@ -52,12 +52,15 @@ def delta_schedule(rcfg: ResolvedConfig, k: int) -> list:
 
 
 class TopkRunner:
-    """Compiles one FORA fn per delta level; drives the refinement loop.
+    """Drives the delta-halving refinement loop over jitted FORA calls.
 
-    The level loop lives on the host (it is a few iterations and each level
-    is a differently-shaped compiled program), but each level's query is a
-    single jit call — no host work in the hot path.
+    The guarantee parameters (rmax, omega_unit) enter the compiled program
+    as runtime scalars, so levels share compilations; only the walk-lane
+    count is shape-defining and is bucketed to powers of four — a ~14-level
+    schedule compiles 3-4 programs, not 14.
     """
+
+    LANE_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
@@ -69,13 +72,23 @@ class TopkRunner:
         self._fns = {}
         self._max_lanes = max_lanes
         self._index = index
+        # per level: (lanes bucket, rmax, omega_unit)
+        self._levels = []
+        for d in self.deltas:
+            rc = rcfg.with_delta(d)
+            from ..ops.walk import walk_lane_budget
+            need = walk_lane_budget(rc.omega_unit, rc.rmax, rc.m, rc.n,
+                                    cap=max_lanes)
+            lanes = next((b for b in self.LANE_BUCKETS if b >= need),
+                         max_lanes)
+            lanes = min(lanes, max_lanes)
+            self._levels.append((lanes, rc.rmax, rc.omega_unit))
 
-    def _fn(self, level: int):
-        if level not in self._fns:
-            rc = self.rcfg.with_delta(self.deltas[level])
-            self._fns[level] = fora.make_fora_fn(
-                self.graph, rc, max_lanes=self._max_lanes, index=self._index)
-        return self._fns[level]
+    def _fn(self, lanes: int):
+        if lanes not in self._fns:
+            self._fns[lanes] = fora.make_fora_param_fn(
+                self.graph, self.rcfg, lanes, index=self._index)
+        return self._fns[lanes]
 
     def query(self, sources: jnp.ndarray, key: jax.Array) -> TopkResult:
         B, k, eps = sources.shape[0], self.k, self.rcfg.epsilon
@@ -85,7 +98,9 @@ class TopkRunner:
         levels = 0
         for level, d in enumerate(self.deltas):
             levels = level + 1
-            res = self._fn(level)(sources, jax.random.fold_in(key, level))
+            lanes, rmax, omega_unit = self._levels[level]
+            res = self._fn(lanes)(sources, jax.random.fold_in(key, level),
+                                  jnp.float32(rmax), jnp.float32(omega_unit))
             vals, idx = topk_ops.topk_nodes(res.ppr, k)
             newly = jnp.logical_and(~accepted, vals[:, -1] >= (1 + eps) * d)
             take = jnp.logical_or(newly, jnp.logical_and(~accepted,
