@@ -40,21 +40,20 @@ class ForaResult(NamedTuple):
 
 
 def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
-               rcfg: ResolvedConfig, num_lanes: int,
+               rcfg: ResolvedConfig, num_lanes: int = 0,
                rmax=None, omega_unit=None,
-               index_endpoints: Optional[jnp.ndarray] = None,
-               index_offsets: Optional[jnp.ndarray] = None,
-               index_counts: Optional[jnp.ndarray] = None) -> ForaResult:
+               index=None, index_depth: int = 0) -> ForaResult:
     """Batched FORA estimate. sources: [B] i32; returns node-major ppr.
 
     ``rmax``/``omega_unit`` may be traced scalars (they enter elementwise
     math only), so one compiled program serves every delta level of the
-    top-k refinement — only ``num_lanes`` is shape-defining.  They default
-    to the rcfg constants.
+    top-k refinement — only ``num_lanes`` (raw-walk mode) or
+    ``index_depth`` (FORA+ mode) is shape-defining.
 
-    When ``index_*`` is given (FORA+ walk index, SURVEY.md Sec. 2.1), the
-    walk phase becomes endpoint-table lookups: lane j of node v reads
-    endpoint (j mod count_v) from v's precomputed pool.
+    With ``index`` (FORA+ multi-resolution walk index, SURVEY.md Sec. 2.1),
+    the walk phase is a weighted SpMV over the depth-``index_depth`` slice
+    of precomputed endpoint edges — no sampling, no lane allocation; see
+    fora_tpu/index/build.py.
     """
     if rmax is None:
         rmax = rcfg.rmax
@@ -63,20 +62,19 @@ def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
     st = push_ops.forward_push(graph, sources, rmax=rmax,
                                alpha=rcfg.alpha,
                                max_iters=rcfg.max_push_iters)
+
+    if index is not None:
+        from ..index.build import indexed_walk_contrib
+        contrib = indexed_walk_contrib(index, st.r, index_depth)
+        zero = jnp.zeros(st.r.shape[1], jnp.int32)
+        return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
+                          rsum=jnp.sum(st.r, axis=0), walk_total=zero,
+                          walk_overflow=zero.astype(bool))
+
     alloc = walk_ops.allocate_walks(st.r, omega_unit, num_lanes)
-
-    if index_endpoints is not None:
-        # FORA+: lane j for node v -> precomputed endpoint[offset_v + j % K_v]
-        cnt = index_counts[alloc.start]
-        j = jnp.where(cnt > 0, alloc.walk_idx % jnp.maximum(cnt, 1), 0)
-        endpoints = index_endpoints[index_offsets[alloc.start] + j]
-        # nodes with an empty pool (cnt == 0) fall back to "stay at v":
-        endpoints = jnp.where(cnt > 0, endpoints, alloc.start)
-    else:
-        endpoints = walk_ops.run_walks(graph, alloc.start, key,
-                                       alpha=rcfg.alpha,
-                                       max_hops=rcfg.max_walk_hops)
-
+    endpoints = walk_ops.run_walks(graph, alloc.start, key,
+                                   alpha=rcfg.alpha,
+                                   max_hops=rcfg.max_walk_hops)
     contrib = walk_ops.accumulate_endpoints(endpoints, alloc.weight, graph.n)
     return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
                       rsum=jnp.sum(st.r, axis=0), walk_total=alloc.total,
@@ -87,10 +85,15 @@ def make_fora_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
                  num_lanes: Optional[int] = None, max_lanes: int = 1 << 23,
                  index=None):
     """Build a jitted ``(sources, key) -> ForaResult`` for one config."""
-    if num_lanes is None:
-        num_lanes = walk_ops.walk_lane_budget(
-            rcfg.omega_unit, rcfg.rmax, rcfg.m, rcfg.n, cap=max_lanes)
-    param = make_fora_param_fn(graph, rcfg, num_lanes, index=index)
+    if index is not None:
+        depth = index.depth_for(rcfg.omega_unit)
+        param = make_fora_param_fn(graph, rcfg, 0, index=index,
+                                   index_depth=depth)
+    else:
+        if num_lanes is None:
+            num_lanes = walk_ops.walk_lane_budget(
+                rcfg.omega_unit, rcfg.rmax, rcfg.m, rcfg.n, cap=max_lanes)
+        param = make_fora_param_fn(graph, rcfg, num_lanes)
 
     def fn(sources, key):
         return param(sources, key, jnp.float32(rcfg.rmax),
@@ -100,18 +103,16 @@ def make_fora_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
 
 
 def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
-                       num_lanes: int, index=None):
+                       num_lanes: int, index=None, index_depth: int = 0):
     """Jitted ``(sources, key, rmax, omega_unit) -> ForaResult`` with the
-    guarantee parameters as runtime scalars (one compile per lane bucket)."""
-    kw = {}
-    if index is not None:
-        kw = dict(index_endpoints=index.endpoints, index_offsets=index.offsets,
-                  index_counts=index.counts)
+    guarantee parameters as runtime scalars (one compile per lane bucket /
+    index depth)."""
 
     @jax.jit
     def fn(sources, key, rmax, omega_unit):
         return fora_query(graph, sources, key, rcfg=rcfg,
                           num_lanes=num_lanes, rmax=rmax,
-                          omega_unit=omega_unit, **kw)
+                          omega_unit=omega_unit, index=index,
+                          index_depth=index_depth)
 
     return fn

@@ -72,23 +72,31 @@ class TopkRunner:
         self._fns = {}
         self._max_lanes = max_lanes
         self._index = index
-        # per level: (lanes bucket, rmax, omega_unit)
+        # per level: (compile key, rmax, omega_unit); the compile key is the
+        # index depth (FORA+ mode) or the walk-lane bucket (raw-walk mode)
         self._levels = []
         for d in self.deltas:
             rc = rcfg.with_delta(d)
-            from ..ops.walk import walk_lane_budget
-            need = walk_lane_budget(rc.omega_unit, rc.rmax, rc.m, rc.n,
-                                    cap=max_lanes)
-            lanes = next((b for b in self.LANE_BUCKETS if b >= need),
-                         max_lanes)
-            lanes = min(lanes, max_lanes)
-            self._levels.append((lanes, rc.rmax, rc.omega_unit))
+            if index is not None:
+                key = index.depth_for(rc.omega_unit)
+            else:
+                from ..ops.walk import walk_lane_budget
+                need = walk_lane_budget(rc.omega_unit, rc.rmax, rc.m, rc.n,
+                                        cap=max_lanes)
+                key = min(next((b for b in self.LANE_BUCKETS if b >= need),
+                               max_lanes), max_lanes)
+            self._levels.append((key, rc.rmax, rc.omega_unit))
 
-    def _fn(self, lanes: int):
-        if lanes not in self._fns:
-            self._fns[lanes] = fora.make_fora_param_fn(
-                self.graph, self.rcfg, lanes, index=self._index)
-        return self._fns[lanes]
+    def _fn(self, key: int):
+        if key not in self._fns:
+            if self._index is not None:
+                self._fns[key] = fora.make_fora_param_fn(
+                    self.graph, self.rcfg, 0, index=self._index,
+                    index_depth=key)
+            else:
+                self._fns[key] = fora.make_fora_param_fn(
+                    self.graph, self.rcfg, key)
+        return self._fns[key]
 
     def query(self, sources: jnp.ndarray, key: jax.Array) -> TopkResult:
         B, k, eps = sources.shape[0], self.k, self.rcfg.epsilon
@@ -98,9 +106,9 @@ class TopkRunner:
         levels = 0
         for level, d in enumerate(self.deltas):
             levels = level + 1
-            lanes, rmax, omega_unit = self._levels[level]
-            res = self._fn(lanes)(sources, jax.random.fold_in(key, level),
-                                  jnp.float32(rmax), jnp.float32(omega_unit))
+            ckey, rmax, omega_unit = self._levels[level]
+            res = self._fn(ckey)(sources, jax.random.fold_in(key, level),
+                                 jnp.float32(rmax), jnp.float32(omega_unit))
             vals, idx = topk_ops.topk_nodes(res.ppr, k)
             newly = jnp.logical_and(~accepted, vals[:, -1] >= (1 + eps) * d)
             take = jnp.logical_or(newly, jnp.logical_and(~accepted,

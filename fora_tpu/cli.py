@@ -132,8 +132,7 @@ def main(argv=None) -> int:
             idx = widx.build_walk_index(dg, rcfg, key)
         widx.save(idx, rcfg, _index_dir(args))
         info("index built", dir=_index_dir(args),
-             endpoints=int(np.asarray(idx.counts).sum()),
-             bytes=widx.index_nbytes(np.asarray(idx.counts)))
+             endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
         print(timers.report(), file=sys.stderr)
         return 0
 

@@ -2,24 +2,42 @@
 
 Reproduces the reference's ``build`` action [R: build.h — reconstruction,
 SURVEY.md Sec. 3.3]: for every node v, pre-run K_v alpha-terminating walks
-and store their endpoints in a flat array with per-node offsets, so the
-query-time walk phase becomes table lookups.
+and store their endpoints so the query-time walk phase becomes lookups.
 
 Sizing contract (SURVEY.md Sec. 2.2): at push termination
-r[v] <= rmax * out_deg[v], so a query at guarantee level delta demands at
-most ceil(rmax * out_deg[v] * omega_unit) + 1 walks from v.  The index is
-built for the smallest delta it must serve (default: the config's delta,
-i.e. 1/n), which also covers every coarser top-k refinement level.
+r[v] <= rmax * out_deg[v], so a query at the index's guarantee level
+demands at most ceil(rmax * out_deg[v] * omega_unit) + 1 walks from v;
+K_v covers that.  The index is built for the smallest delta it must serve
+(default 1/n), which covers every coarser top-k refinement level.
 
-The builder is the query-time walk engine run offline in lane-chunks — the
-same vectorized kernel, so index and on-the-fly walks have identical
-statistics by construction.
+TPU-native layout — the pool is materialized as a *multi-resolution
+weighted SpMV operand* instead of a lane-sampled table:
+
+  * every pool entry is an "index edge" (v -> endpoint);
+  * edges are split into buckets by their prefix position within v's pool:
+    bucket q holds entries j with ceil(K_v * 4^-(q+1)) <= j <
+    ceil(K_v * 4^-q) (bucket 0 = the outermost full pool);  a query at a
+    coarser guarantee level uses only the deepest buckets — work scales
+    with omega(level), like the reference's omega scaling;
+  * within each bucket, edges are sorted by endpoint, so the walk phase is
+    one gather + one sorted segment_sum per bucket (identical memory
+    pattern to the push superstep; no RNG, no per-hop chasing);
+  * ``counts_cum[v, q]`` = number of v's edges in buckets >= q (i.e. in
+    the prefix used at depth q) supplies the estimator weight r_v / count.
+
+Using the full per-node prefix instead of sampling omega_v <= count entries
+is unbiased with no higher variance, so the (eps, delta, p_f) guarantee is
+preserved (more i.i.d. endpoint samples per unit residue, never fewer than
+the demanded omega_v).
+
+Dangling nodes get a single self-edge in the deepest bucket (absorbing
+convention) rather than pool walks.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,21 +47,56 @@ from ..config import ResolvedConfig
 from ..graph.csr import DeviceGraph
 from ..ops import walk as walk_ops
 
+NUM_BUCKETS = 8          # prefix fractions 4^0 .. 4^-(NUM_BUCKETS-1)
+BUCKET_BASE = 4
+
 
 class WalkIndex(NamedTuple):
-    """Flat endpoint pool. Node v's endpoints:
-    ``endpoints[offsets[v] : offsets[v] + counts[v]]``."""
+    """Multi-resolution endpoint index (device arrays).
 
-    endpoints: jnp.ndarray  # [total] i32
-    offsets: jnp.ndarray    # [n] i32
-    counts: jnp.ndarray     # [n] i32
+    Depth q serves queries whose omega_unit is <= omega_unit_built * 4^-q;
+    they read buckets q..NUM_BUCKETS-1 (``edge_*`` slices via
+    ``bucket_offsets``) and weight edges by 1/counts_cum[src, q].
+    """
+
+    edge_src: jnp.ndarray        # [E] i32, source node of each index edge
+    edge_dst: jnp.ndarray        # [E] i32, walk endpoint
+    bucket_offsets: np.ndarray   # [NUM_BUCKETS+1] host i64: bucket q =
+    #                              edges [bucket_offsets[q], bucket_offsets[q+1])
+    #                              buckets stored deepest-last:
+    #                              slice [bucket_offsets[q]:] = depth-q prefix? no:
+    #                              see layout note in build_walk_index
+    counts_cum: jnp.ndarray      # [n, NUM_BUCKETS] i32 — pool entries of v
+    #                              visible at depth q
+    omega_unit_built: float
+    rmax_built: float
+
+    @property
+    def total_edges(self) -> int:
+        return self.edge_src.shape[0]
+
+    def depth_for(self, omega_unit_query: float) -> int:
+        """Deepest (cheapest) bucket depth whose coverage fraction
+        4^-q still satisfies the query's omega_unit."""
+        ratio = omega_unit_query / self.omega_unit_built
+        if ratio > 1.0 + 1e-9:
+            raise ValueError(
+                f"index too coarse: built omega_unit={self.omega_unit_built:.3g}"
+                f" < query {omega_unit_query:.3g}")
+        q = int(-math.log(max(ratio, 1e-300)) // math.log(BUCKET_BASE))
+        return min(max(q, 0), NUM_BUCKETS - 1)
+
+    def edges_at_depth(self, q: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Static slice of edges used at depth q (buckets q..deepest are
+        stored contiguously at the tail)."""
+        lo = int(self.bucket_offsets[q])
+        return self.edge_src[lo:], self.edge_dst[lo:]
 
 
 def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
                  max_per_node: Optional[int] = None) -> np.ndarray:
     """K_v = ceil(rmax * deg_v * omega_unit) + 1 walks per node (0 for
-    dangling nodes: their walks always end at themselves — served
-    analytically at query time)."""
+    dangling nodes — served by an analytic self-edge)."""
     deg = np.asarray(out_deg, dtype=np.float64)
     k = np.ceil(rcfg.rmax * deg * rcfg.omega_unit).astype(np.int64) + 1
     k[deg == 0] = 0
@@ -54,14 +107,14 @@ def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
 
 def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
                      key: jax.Array, *, max_per_node: Optional[int] = None,
-                     chunk: int = 1 << 22) -> WalkIndex:
-    """Run all index walks in lane-chunks of ``chunk`` on device."""
+                     chunk: int = 1 << 21) -> WalkIndex:
+    """Run all index walks on device in lane-chunks, then pack the
+    multi-resolution bucketed SpMV layout on the host."""
     n = graph.n
-    counts = index_counts(np.asarray(graph.out_deg), rcfg, max_per_node)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
+    deg = np.asarray(graph.out_deg)
+    counts = index_counts(deg, rcfg, max_per_node)
     total = int(counts.sum())
-    if total >= 2**31:
+    if total + n >= 2**31:
         raise ValueError(
             f"walk index ({total} endpoints) exceeds int32 range; shard the "
             "graph rows first (fora_tpu.parallel) or cap max_per_node")
@@ -72,8 +125,7 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     run = jax.jit(
         lambda s, k: walk_ops.run_walks(
             graph, s[:, None], k, alpha=rcfg.alpha,
-            max_hops=rcfg.max_walk_hops)[:, 0],
-        donate_argnums=(0,))
+            max_hops=rcfg.max_walk_hops)[:, 0])
     n_chunks = max(1, math.ceil(total / chunk))
     for i in range(n_chunks):
         lo, hi = i * chunk, min((i + 1) * chunk, total)
@@ -82,10 +134,92 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
         out = np.asarray(run(jnp.asarray(s), jax.random.fold_in(key, i)))
         endpoints[lo:hi] = out[: hi - lo]
 
-    return WalkIndex(endpoints=jnp.asarray(endpoints),
-                     offsets=jnp.asarray(offsets.astype(np.int32)),
-                     counts=jnp.asarray(counts.astype(np.int32)))
+    return pack_index(endpoints, counts, deg, rcfg)
 
 
-def index_nbytes(counts: np.ndarray) -> int:
-    return int(counts.sum()) * 4 + counts.size * 8
+def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
+               rcfg: ResolvedConfig) -> WalkIndex:
+    """Host-side packing of raw pools into the bucketed layout.
+
+    Entry j of node v lands in bucket q = the deepest depth with
+    j < ceil(K_v * 4^-q)  (cutoffs shrink as q grows, so the depth-q
+    prefix {j < ceil(K_v * 4^-q)} is exactly the union of buckets
+    q..NUM_BUCKETS-1).  Buckets are stored ascending, each sorted by
+    endpoint, so a depth-q query reads the contiguous tail
+    ``[bucket_offsets[q]:]`` bucket by bucket.  Dangling nodes contribute
+    one self-edge in the deepest bucket (visible at every depth).
+    """
+    n = counts.shape[0]
+    total = int(counts.sum())
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    src = np.repeat(np.arange(n, dtype=np.int64), counts)
+    j_within = np.arange(total, dtype=np.int64) - offsets[src]
+    k_v = counts[src].astype(np.float64)
+    # bucket q: deepest q such that j < ceil(K_v * 4^-q)
+    frac = np.array([BUCKET_BASE ** (-q) for q in range(NUM_BUCKETS)])
+    cutoffs = np.ceil(k_v[:, None] * frac[None, :])        # [E, Q]
+    bucket = (j_within[:, None] < cutoffs).sum(axis=1) - 1  # deepest passing q
+    bucket = np.maximum(bucket, 0)
+
+    # dangling self-edges at the deepest bucket
+    dang = np.nonzero(np.asarray(out_deg) == 0)[0].astype(np.int64)
+    src = np.concatenate([src, dang])
+    dst = np.concatenate([endpoints.astype(np.int64), dang])
+    bucket = np.concatenate([bucket,
+                             np.full(len(dang), NUM_BUCKETS - 1)])
+
+    # sort by (bucket ascending, endpoint) then flip bucket order so the
+    # deepest buckets sit at the tail; a depth-q query slices [off[q]:].
+    order = np.lexsort((dst, bucket))
+    src, dst, bucket = src[order], dst[order], bucket[order]
+
+    bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
+    bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
+    np.cumsum(bucket_sizes, out=bucket_offsets[1:])
+
+    # counts_cum[v, q] = edges of v visible at depth q (buckets >= q)
+    counts_cum = np.zeros((n, NUM_BUCKETS), dtype=np.int32)
+    for q in range(NUM_BUCKETS):
+        lo = bucket_offsets[q]
+        counts_cum[:, q] = np.bincount(src[lo:], minlength=n)
+
+    return WalkIndex(
+        edge_src=jnp.asarray(src.astype(np.int32)),
+        edge_dst=jnp.asarray(dst.astype(np.int32)),
+        bucket_offsets=bucket_offsets,
+        counts_cum=jnp.asarray(counts_cum),
+        omega_unit_built=rcfg.omega_unit,
+        rmax_built=rcfg.rmax,
+    )
+
+
+def index_nbytes(index: WalkIndex) -> int:
+    return index.total_edges * 8 + index.counts_cum.size * 4
+
+
+def indexed_walk_contrib(index: WalkIndex, r: jnp.ndarray, depth: int
+                         ) -> jnp.ndarray:
+    """Walk-phase estimate as a weighted SpMV over the depth-q edge slice.
+
+    r: [n, B] post-push residue.  Returns [n, B] endpoint mass:
+      contrib[t] = sum over index edges (v -> t) at depth q of
+                   r[v] / counts_cum[v, q].
+    One gather + one sorted segment_sum per bucket — same memory pattern
+    as a push superstep, no RNG.
+    """
+    n = r.shape[0]
+    inv_cnt = 1.0 / jnp.maximum(
+        index.counts_cum[:, depth], 1).astype(jnp.float32)
+    rw = r * inv_cnt[:, None]                             # [n, B]
+    contrib = jnp.zeros_like(r)
+    for q in range(depth, NUM_BUCKETS):
+        lo, hi = int(index.bucket_offsets[q]), int(index.bucket_offsets[q + 1])
+        if hi == lo:
+            continue
+        vals = rw[index.edge_src[lo:hi]]                  # [E_q, B]
+        contrib = contrib + jax.ops.segment_sum(
+            vals, index.edge_dst[lo:hi], num_segments=n,
+            indices_are_sorted=True)
+    return contrib

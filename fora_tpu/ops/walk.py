@@ -53,22 +53,33 @@ def allocate_walks(r: jnp.ndarray, omega_unit: float, num_lanes: int
     cumulative walk count first exceeds i (searchsorted over the int32
     cumsum — exact, no f32 rounding).
     """
+    n, B = r.shape
     omega_v = jnp.ceil(r * jnp.float32(omega_unit)).astype(jnp.int32)  # [n, B]
     omega_v = jnp.where(r > 0, omega_v, 0)
     cum = jnp.cumsum(omega_v, axis=0)                                  # [n, B]
     total = cum[-1]                                                    # [B]
     lanes = jnp.arange(num_lanes, dtype=jnp.int32)
-    start = jax.vmap(
-        lambda c: jnp.searchsorted(c, lanes, side="right"),
-        in_axes=1, out_axes=1)(cum).astype(jnp.int32)                  # [W, B]
-    start = jnp.minimum(start, r.shape[0] - 1)
+
+    # Lane -> node via scatter + cummax (O(W); searchsorted's binary scan
+    # is pathologically slow on TPU): node v with omega_v > 0 owns lanes
+    # [cum[v-1], cum[v]); drop a marker v at its first lane and fill
+    # forward.  Markers collide only for omega_v == 0 nodes (excluded).
+    first = jnp.where(omega_v > 0, cum - omega_v, num_lanes)           # [n, B]
+    first_c = jnp.minimum(first, num_lanes - 1)
+    marks = jnp.zeros((num_lanes, B), jnp.int32)
+    node_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                                (n, B))
+    put = jnp.where(jnp.logical_and(omega_v > 0, first < num_lanes),
+                    node_ids, 0)
+    marks = marks.at[first_c, jnp.arange(B)[None, :]].max(put)
+    start = jax.lax.cummax(marks, axis=0)                              # [W, B]
+
     valid = lanes[:, None] < jnp.minimum(total, num_lanes)[None, :]
     r_v = jnp.take_along_axis(r, start, axis=0)
     w_v = jnp.take_along_axis(omega_v, start, axis=0)
     weight = jnp.where(valid, r_v / jnp.maximum(w_v, 1).astype(jnp.float32), 0.0)
     # walk number within its node: lane - (walks demanded by earlier nodes)
-    first_lane = jnp.take_along_axis(cum, jnp.maximum(start - 1, 0), axis=0)
-    first_lane = jnp.where(start > 0, first_lane, 0)
+    first_lane = jnp.take_along_axis(cum - omega_v, start, axis=0)
     walk_idx = lanes[:, None] - first_lane
     return WalkAllocation(start=start, walk_idx=walk_idx, weight=weight,
                           valid=valid, total=total,

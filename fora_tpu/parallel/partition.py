@@ -87,41 +87,59 @@ def partition_rows(g: CSRGraph, n_shards: int,
 
 
 class PartitionedIndex(NamedTuple):
-    """FORA+ walk index rows sharded like the graph rows; offsets rebased
-    per shard; endpoint pools padded to a common length."""
+    """FORA+ multi-resolution index edges sharded by SOURCE row (residues
+    are row-local; endpoint mass is psum_scattered back to owners).
 
-    e_loc: int
-    endpoints: np.ndarray  # [G * e_loc] i32
-    offsets: np.ndarray    # [G * n_loc] i32 (local into shard's pool)
-    counts: np.ndarray     # [G * n_loc] i32
+    Per shard, buckets occupy the same local offsets (padded to the max
+    bucket size across shards); pad entries carry src = n_loc (a zero row
+    appended to the local residue matrix) and dst = n_pad (dropped
+    segment)."""
+
+    e_loc_total: int
+    bucket_local_offsets: np.ndarray  # [Q+1] i64, shared by all shards
+    edge_src_local: np.ndarray        # [G * e_loc_total] i32, pad = n_loc
+    edge_dst: np.ndarray              # [G * e_loc_total] i32 global, pad = n_pad
+    counts_cum: np.ndarray            # [G * n_loc, Q] i32
 
 
-def partition_index(endpoints: np.ndarray, offsets: np.ndarray,
-                    counts: np.ndarray, n_shards: int, n_loc: int
-                    ) -> PartitionedIndex:
-    endpoints = np.asarray(endpoints)
-    offsets = np.asarray(offsets).astype(np.int64)
-    counts = np.asarray(counts).astype(np.int64)
-    n = offsets.shape[0]
+def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
+    """``index`` is a fora_tpu.index.WalkIndex (v2 bucketed layout)."""
+    src = np.asarray(index.edge_src, dtype=np.int64)
+    dst = np.asarray(index.edge_dst, dtype=np.int64)
+    boff = np.asarray(index.bucket_offsets, dtype=np.int64)
+    cc = np.asarray(index.counts_cum)
+    n, Q = cc.shape
     n_pad = n_shards * n_loc
 
-    pool_sizes = []
-    for s in range(n_shards):
-        lo, hi = s * n_loc, min((s + 1) * n_loc, n)
-        pool_sizes.append(int(counts[lo:hi].sum()) if hi > lo else 0)
-    e_loc = max(max(pool_sizes), 1)
+    shard_of = src // n_loc
+    # per (bucket, shard) sizes
+    sizes = np.zeros((Q, n_shards), dtype=np.int64)
+    for q in range(Q):
+        lo, hi = boff[q], boff[q + 1]
+        sizes[q] = np.bincount(shard_of[lo:hi], minlength=n_shards)
+    bucket_loc = sizes.max(axis=1)                       # padded per bucket
+    bucket_local_offsets = np.zeros(Q + 1, dtype=np.int64)
+    np.cumsum(bucket_loc, out=bucket_local_offsets[1:])
+    e_loc_total = int(bucket_local_offsets[-1])
 
-    e_flat = np.zeros(n_shards * e_loc, dtype=np.int32)
-    o_flat = np.zeros(n_pad, dtype=np.int32)
-    c_flat = np.zeros(n_pad, dtype=np.int32)
-    for s in range(n_shards):
-        lo, hi = s * n_loc, min((s + 1) * n_loc, n)
-        if hi <= lo:
-            continue
-        base = int(offsets[lo])
-        size = pool_sizes[s]
-        e_flat[s * e_loc: s * e_loc + size] = endpoints[base: base + size]
-        o_flat[s * n_loc: s * n_loc + (hi - lo)] = (offsets[lo:hi] - base)
-        c_flat[s * n_loc: s * n_loc + (hi - lo)] = counts[lo:hi]
-    return PartitionedIndex(e_loc=e_loc, endpoints=e_flat,
-                            offsets=o_flat, counts=c_flat)
+    src_flat = np.full(n_shards * e_loc_total, n_loc, dtype=np.int32)
+    dst_flat = np.full(n_shards * e_loc_total, n_pad, dtype=np.int32)
+    for q in range(Q):
+        lo, hi = boff[q], boff[q + 1]
+        so = shard_of[lo:hi]
+        s_src, s_dst = src[lo:hi], dst[lo:hi]
+        for s in range(n_shards):
+            mask = so == s
+            k = int(mask.sum())
+            base = s * e_loc_total + bucket_local_offsets[q]
+            src_flat[base: base + k] = s_src[mask] - s * n_loc
+            dst_flat[base: base + k] = s_dst[mask]
+
+    cc_flat = np.zeros((n_shards * n_loc, Q), dtype=np.int32)
+    cc_flat[:n] = cc
+    # rows must sit at shard-local positions: row v of shard s at
+    # s * n_loc + (v - s * n_loc) == v, so the plain copy is already aligned.
+    return PartitionedIndex(e_loc_total=e_loc_total,
+                            bucket_local_offsets=bucket_local_offsets,
+                            edge_src_local=src_flat, edge_dst=dst_flat,
+                            counts_cum=cc_flat)

@@ -53,11 +53,12 @@ def _shard_fora_topk(
     out_indptr,       # [n_pad+1] i32 replicated
     out_indices,      # [m] i32 replicated
     out_deg,          # [n_pad] i32 replicated
-    idx_endpoints,    # [e_loc] i32 (or dummy [1])
-    idx_offsets,      # [n_loc] i32 (or dummy)
-    idx_counts,       # [n_loc] i32 (or dummy)
+    idx_edge_src,     # [e_loc_total] i32 local src, pad=n_loc (or dummy)
+    idx_edge_dst,     # [e_loc_total] i32 global dst, pad=n_pad (or dummy)
+    idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
     *, rcfg: ResolvedConfig, n_loc: int, num_lanes_loc: int, k: int,
-    use_index: bool,
+    use_index: bool, index_depth: int = 0,
+    index_bucket_offsets=None,
 ):
     g_id = jax.lax.axis_index(GRAPH_AXIS)
     Bq = sources.shape[0]
@@ -102,14 +103,30 @@ def _shard_fora_topk(
     p, r, iters, _ = jax.lax.while_loop(
         cond, body, (p0, r0, jnp.zeros((), jnp.int32), frontier_count(r0)))
 
-    # --- walk phase: shard-local lanes from shard-local residues ---
-    alloc = walk_ops.allocate_walks(r, rcfg.omega_unit, num_lanes_loc)
+    # --- walk phase: shard-local residues feed either the local slice of
+    # the multi-resolution index (SpMV over index edges, endpoint mass
+    # psum_scattered to row owners) or shard-local raw walk lanes ---
+    n_pad = out_deg.shape[0]
+    overflow = jnp.zeros((Bq,), bool)
     if use_index:
-        cnt = idx_counts[alloc.start]
-        j = jnp.where(cnt > 0, alloc.walk_idx % jnp.maximum(cnt, 1), 0)
-        endpoints = idx_endpoints[idx_offsets[alloc.start] + j]
-        endpoints = jnp.where(cnt > 0, endpoints, alloc.start + row0)
+        from ..index.build import NUM_BUCKETS
+        inv_cnt = 1.0 / jnp.maximum(
+            idx_counts_cum[:, index_depth], 1).astype(jnp.float32)
+        rw = r * inv_cnt[:, None]                           # [n_loc, Bq]
+        rw_pad = jnp.concatenate([rw, jnp.zeros((1, Bq), rw.dtype)], axis=0)
+        contrib_all = jnp.zeros((n_pad + 1, Bq), jnp.float32)
+        for q in range(index_depth, NUM_BUCKETS):
+            lo = int(index_bucket_offsets[q])
+            hi = int(index_bucket_offsets[q + 1])
+            if hi == lo:
+                continue
+            vals = rw_pad[idx_edge_src[lo:hi]]              # [E_q, Bq]
+            contrib_all = contrib_all + jax.ops.segment_sum(
+                vals, idx_edge_dst[lo:hi], num_segments=n_pad + 1,
+                indices_are_sorted=True)
+        contrib_all = contrib_all[:n_pad]
     else:
+        alloc = walk_ops.allocate_walks(r, rcfg.omega_unit, num_lanes_loc)
         walk_graph = DeviceGraph(out_indptr=out_indptr,
                                  out_indices=out_indices,
                                  in_src=in_src, in_dst=in_dst,  # unused
@@ -118,10 +135,10 @@ def _shard_fora_topk(
             walk_graph, alloc.start + row0,
             jax.random.fold_in(key, g_id), alpha=alpha,
             max_hops=rcfg.max_walk_hops)
+        contrib_all = walk_ops.accumulate_endpoints(endpoints, alloc.weight,
+                                                    n_pad)  # [n_pad, Bq]
+        overflow = alloc.overflow
 
-    n_pad = out_deg.shape[0]
-    contrib_all = walk_ops.accumulate_endpoints(endpoints, alloc.weight,
-                                                n_pad)     # [n_pad, Bq]
     walk_loc = jax.lax.psum_scatter(contrib_all, GRAPH_AXIS,
                                     scatter_dimension=0, tiled=True)
     ppr_loc = p + walk_loc                                    # [n_loc, Bq]
@@ -134,7 +151,7 @@ def _shard_fora_topk(
     fvals, sel = jax.lax.top_k(cand_v, k)
     fids = jnp.take_along_axis(cand_i, sel, axis=1)
 
-    overflow = jax.lax.psum(alloc.overflow.astype(jnp.int32), GRAPH_AXIS) > 0
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), GRAPH_AXIS) > 0
     return fvals, fids, iters, overflow
 
 
@@ -174,19 +191,25 @@ class ShardedForaEngine:
             put(pg.out_deg, rep),
         ]
         self.use_index = index is not None
+        index_depth = 0
+        bucket_offsets = None
         if self.use_index:
-            pi = part.partition_index(index.endpoints, index.offsets,
-                                      index.counts, G, pg.n_loc)
-            self._args += [put(pi.endpoints, gspec), put(pi.offsets, gspec),
-                           put(pi.counts, gspec)]
+            pi = part.partition_index(index, G, pg.n_loc)
+            index_depth = index.depth_for(rcfg.omega_unit)
+            bucket_offsets = pi.bucket_local_offsets
+            self._args += [put(pi.edge_src_local, gspec),
+                           put(pi.edge_dst, gspec),
+                           put(pi.counts_cum, gspec)]
         else:
             dummy = np.zeros(G, dtype=np.int32)
-            self._args += [put(dummy, gspec)] * 3
+            self._args += [put(dummy, gspec)] * 2 + [
+                put(np.zeros((G, 1), dtype=np.int32), gspec)]
 
         fn = functools.partial(
             _shard_fora_topk, rcfg=rcfg, n_loc=pg.n_loc,
             num_lanes_loc=self.num_lanes_loc, k=self.k,
-            use_index=self.use_index)
+            use_index=self.use_index, index_depth=index_depth,
+            index_bucket_offsets=bucket_offsets)
         mapped = shard_map(
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,

@@ -1,5 +1,6 @@
-"""FORA+ walk-index tests: sizing, build statistics, serialization round-trip,
-compat checking, and indexed-query accuracy (SURVEY.md Sec. 2.1 / 5.4)."""
+"""FORA+ multi-resolution walk-index tests: bucket structure, SpMV walk
+phase, serialization round-trip, compat checking, indexed-query accuracy
+(SURVEY.md Sec. 2.1 / 5.4)."""
 
 import jax
 import jax.numpy as jnp
@@ -14,15 +15,14 @@ from fora_tpu.graph import generators, to_device
 from fora_tpu.ops import topk as topk_ops
 
 
-def _setup(eps=0.5):
-    g = generators.karate_club()
+def _setup(eps=0.5, gen=generators.karate_club):
+    g = gen()
     dg = to_device(g)
     rcfg = ForaConfig(epsilon=eps).resolved(g.n, g.m)
     return g, dg, rcfg
 
 
 def test_index_counts_cover_demand():
-    """K_v must cover the worst-case query demand ceil(rmax*deg*omega)+..."""
     g, dg, rcfg = _setup()
     counts = widx.index_counts(np.asarray(g.out_deg), rcfg)
     deg = np.asarray(g.out_deg, dtype=np.float64)
@@ -31,27 +31,64 @@ def test_index_counts_cover_demand():
     assert np.all(counts[deg == 0] == 0)
 
 
-def test_index_endpoint_statistics():
-    """Pooled index endpoints from node v estimate pi_v."""
+def test_bucket_structure():
+    """Depth-q tail = per-node prefix of size ceil(K_v * 4^-q); deepest
+    bucket counts cover each node with >= 1 entry; dangling self-edges."""
+    g, dg, rcfg = _setup(gen=lambda: generators.erdos_renyi(64, 120, seed=7))
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(0))
+    counts = widx.index_counts(np.asarray(g.out_deg), rcfg)
+    cc = np.asarray(idx.counts_cum)
+    deg = np.asarray(g.out_deg)
+    for q in range(widx.NUM_BUCKETS):
+        expect = np.ceil(counts * 4.0 ** (-q)).astype(int)
+        expect[deg == 0] = 1    # dangling self-edge visible at every depth
+        assert np.array_equal(cc[:, q], expect), q
+    # edges in the depth-q tail are exactly counts_cum[:, q] per node
+    src = np.asarray(idx.edge_src)
+    for q in (0, 3, widx.NUM_BUCKETS - 1):
+        lo = int(idx.bucket_offsets[q])
+        assert np.array_equal(np.bincount(src[lo:], minlength=g.n), cc[:, q])
+    # dangling self-edge: dst == src for dangling nodes
+    dst = np.asarray(idx.edge_dst)
+    for v in np.nonzero(deg == 0)[0]:
+        assert np.all(dst[src == v] == v)
+    # within each bucket, dst ascending (sorted segment_sum contract)
+    boff = idx.bucket_offsets
+    for q in range(widx.NUM_BUCKETS):
+        seg = dst[int(boff[q]):int(boff[q + 1])]
+        assert np.all(np.diff(seg) >= 0)
+
+
+def test_depth_for():
     g, dg, rcfg = _setup()
-    # enlarge the pool for a tight statistical check
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    assert idx.depth_for(rcfg.omega_unit) == 0
+    assert idx.depth_for(rcfg.omega_unit / 4.0) in (0, 1)
+    assert idx.depth_for(rcfg.omega_unit / 16.5) == 2
+    assert idx.depth_for(rcfg.omega_unit * 1e-9) == widx.NUM_BUCKETS - 1
+    with pytest.raises(ValueError, match="too coarse"):
+        idx.depth_for(rcfg.omega_unit * 2)
+
+
+def test_indexed_contrib_statistics():
+    """SpMV walk contribution from residue e_v estimates pi_v."""
+    g, dg, rcfg = _setup(eps=0.5)
     big = ForaConfig(epsilon=0.5, walk_multiplier=50.0).resolved(g.n, g.m)
-    idx = widx.build_walk_index(dg, big, jax.random.key(0), chunk=1 << 14)
-    counts = np.asarray(idx.counts)
-    offs = np.asarray(idx.offsets)
-    ends = np.asarray(idx.endpoints)
+    idx = widx.build_walk_index(dg, big, jax.random.key(2), chunk=1 << 14)
     v = 0
-    pool = ends[offs[v]: offs[v] + counts[v]]
-    freq = np.bincount(pool, minlength=g.n) / len(pool)
+    r = jnp.zeros((g.n, 1), jnp.float32).at[v, 0].set(1.0)
+    est = np.asarray(widx.indexed_walk_contrib(idx, r, 0))[:, 0]
+    pool = int(np.asarray(idx.counts_cum)[v, 0])
     pi = exact.exact_ppr_dense(g, v)
-    assert np.abs(freq - pi).sum() < 4.0 / np.sqrt(len(pool)) * np.sqrt(g.n)
+    assert abs(est.sum() - 1.0) < 1e-5      # weights sum to residue mass
+    assert np.abs(est - pi).sum() < 4.0 / np.sqrt(pool) * np.sqrt(g.n)
 
 
 def test_indexed_query_matches_guarantee():
     g, dg, rcfg = _setup()
-    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(3))
     fn = fora.make_fora_fn(dg, rcfg, index=idx)
-    res = fn(jnp.array([0, 33]), jax.random.key(2))
+    res = fn(jnp.array([0, 33]), jax.random.key(4))
     ppr = np.asarray(res.ppr, dtype=np.float64)
     for b, s in enumerate([0, 33]):
         pi = exact.exact_ppr_dense(g, s)
@@ -61,34 +98,37 @@ def test_indexed_query_matches_guarantee():
                                       exact.exact_topk(g, s, 5)[0]) >= 0.8
 
 
+def test_indexed_query_at_coarse_depth():
+    """A coarser query config rides a deeper (cheaper) bucket slice and
+    still meets its (weaker) guarantee."""
+    g, dg, rcfg = _setup()
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(5))
+    coarse = ForaConfig(epsilon=0.5, delta=16.5 / g.n).resolved(g.n, g.m)
+    assert idx.depth_for(coarse.omega_unit) >= 2
+    fn = fora.make_fora_fn(dg, coarse, index=idx)
+    res = fn(jnp.array([0]), jax.random.key(6))
+    pi = exact.exact_ppr_dense(g, 0)
+    err = metrics.max_relative_error(
+        np.asarray(res.ppr, np.float64)[:, 0], pi, coarse.delta)
+    assert err <= 0.6
+
+
 def test_index_store_roundtrip(tmp_path):
     g, dg, rcfg = _setup()
-    idx = widx.build_walk_index(dg, rcfg, jax.random.key(3))
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(7))
     widx.save(idx, rcfg, str(tmp_path / "idx"))
     idx2 = widx.load(str(tmp_path / "idx"), rcfg)
-    assert np.array_equal(np.asarray(idx.endpoints), np.asarray(idx2.endpoints))
-    assert np.array_equal(np.asarray(idx.offsets), np.asarray(idx2.offsets))
-    assert np.array_equal(np.asarray(idx.counts), np.asarray(idx2.counts))
-
-
-def test_index_store_row_range(tmp_path):
-    g, dg, rcfg = _setup()
-    idx = widx.build_walk_index(dg, rcfg, jax.random.key(4))
-    widx.save(idx, rcfg, str(tmp_path / "idx"))
-    lo, hi = 10, 20
-    part = widx.load(str(tmp_path / "idx"), row_range=(lo, hi))
-    full_off = np.asarray(idx.offsets)
-    full_cnt = np.asarray(idx.counts)
-    for v in range(lo, hi):
-        a = np.asarray(idx.endpoints)[full_off[v]: full_off[v] + full_cnt[v]]
-        o = np.asarray(part.offsets)[v - lo]
-        b = np.asarray(part.endpoints)[o: o + np.asarray(part.counts)[v - lo]]
-        assert np.array_equal(a, b)
+    assert np.array_equal(np.asarray(idx.edge_src), np.asarray(idx2.edge_src))
+    assert np.array_equal(np.asarray(idx.edge_dst), np.asarray(idx2.edge_dst))
+    assert np.array_equal(idx.bucket_offsets, idx2.bucket_offsets)
+    assert np.array_equal(np.asarray(idx.counts_cum),
+                          np.asarray(idx2.counts_cum))
+    assert idx2.omega_unit_built == pytest.approx(rcfg.omega_unit)
 
 
 def test_index_compat_rejects_coarser(tmp_path):
     g, dg, rcfg = _setup()
-    idx = widx.build_walk_index(dg, rcfg, jax.random.key(5))
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(8))
     widx.save(idx, rcfg, str(tmp_path / "idx"))
     finer = ForaConfig(epsilon=0.25).resolved(g.n, g.m)  # needs more walks
     with pytest.raises(ValueError, match="too coarse"):

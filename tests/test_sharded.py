@@ -35,22 +35,32 @@ def test_partition_rows_covers_all_edges():
     assert sorted(seen) == sorted(zip(g.in_src.tolist(), g.in_dst.tolist()))
 
 
-def test_partition_index_roundtrip():
+def test_partition_index_preserves_edges():
+    """Sharded bucket slices hold exactly the global index edges, with
+    localized src and per-bucket alignment."""
     g, rcfg = _graph_and_cfg(n=100, m=800)
     dg = to_device(g)
     idx = widx.build_walk_index(dg, rcfg, jax.random.key(0))
     pg = partition_rows(g, 4)
-    pi = partition_index(idx.endpoints, idx.offsets, idx.counts, 4, pg.n_loc)
-    off = np.asarray(idx.offsets)
-    cnt = np.asarray(idx.counts)
-    ends = np.asarray(idx.endpoints)
-    for v in range(g.n):
-        s, lv = v // pg.n_loc, v % pg.n_loc
-        a = ends[off[v]: off[v] + cnt[v]]
-        o = pi.offsets[s * pg.n_loc + lv]
-        c = pi.counts[s * pg.n_loc + lv]
-        b = pi.endpoints[s * pi.e_loc + o: s * pi.e_loc + o + c]
-        assert np.array_equal(a, b)
+    pi = partition_index(idx, 4, pg.n_loc)
+    gsrc = np.asarray(idx.edge_src)
+    gdst = np.asarray(idx.edge_dst)
+    for q in range(widx.NUM_BUCKETS):
+        glo, ghi = int(idx.bucket_offsets[q]), int(idx.bucket_offsets[q + 1])
+        want = sorted(zip(gsrc[glo:ghi].tolist(), gdst[glo:ghi].tolist()))
+        got = []
+        for s in range(4):
+            base = s * pi.e_loc_total
+            lo = base + int(pi.bucket_local_offsets[q])
+            hi = base + int(pi.bucket_local_offsets[q + 1])
+            src_l = pi.edge_src_local[lo:hi]
+            dst = pi.edge_dst[lo:hi]
+            real = src_l < pg.n_loc
+            got += list(zip((src_l[real] + s * pg.n_loc).tolist(),
+                            dst[real].tolist()))
+        assert sorted(got) == want, q
+    # counts_cum rows land at their global node position
+    assert np.array_equal(pi.counts_cum[: g.n], np.asarray(idx.counts_cum))
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
