@@ -52,8 +52,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
-BATCH = env_int("FORA_BENCH_BATCH", 32)
-QUERIES = env_int("FORA_BENCH_QUERIES", 128)
+BATCH = env_int("FORA_BENCH_BATCH", 128)
+QUERIES = env_int("FORA_BENCH_QUERIES", 256)
+DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "4"))
 K = env_int("FORA_BENCH_K", 50)
 EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))
 EVAL_N = env_int("FORA_BENCH_EVAL", 16)
@@ -178,7 +179,8 @@ def main():
             log(f"index built in {time.time()-t0:.1f}s "
                 f"({int(np.asarray(index.counts).sum())} endpoints)")
 
-    runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index)
+    runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
+                                  delta_stride=DSTRIDE)
     key = jax.random.key(SEED + 2)
     src_batches = [jnp.asarray(sources[i:i + BATCH])
                    for i in range(0, QUERIES, BATCH)

@@ -39,14 +39,17 @@ class TopkResult(NamedTuple):
     accepted: np.ndarray    # [B] bool — guarantee test passed (vs maxed out)
 
 
-def delta_schedule(rcfg: ResolvedConfig, k: int) -> list:
-    """delta_0 = 1/k, halved down to the final guarantee delta (>= 1/n)."""
+def delta_schedule(rcfg: ResolvedConfig, k: int, stride: float = 2.0) -> list:
+    """delta_0 = 1/k, divided by ``stride`` per level down to the final
+    guarantee delta (>= 1/n).  The reference halves (stride 2); stride 4
+    matches the index bucket granularity and halves the level count at the
+    cost of at most one over-fine level."""
     floor_delta = max(rcfg.delta, 1.0 / rcfg.n)
     deltas = []
     d = 1.0 / max(k, 2)
     while d > floor_delta:
         deltas.append(d)
-        d /= 2.0
+        d /= stride
     deltas.append(floor_delta)
     return deltas
 
@@ -64,11 +67,11 @@ class TopkRunner:
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
-                 index=None):
+                 index=None, delta_stride: float = 2.0):
         self.graph = graph
         self.k = k if k is not None else rcfg.k
         self.rcfg = rcfg
-        self.deltas = delta_schedule(rcfg, self.k)
+        self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
         self._fns = {}
         self._max_lanes = max_lanes
         self._index = index

@@ -39,7 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("action", choices=["query", "topk", "batch-topk", "build",
-                                      "generate-ss-query", "gen-exact-topk"])
+                                      "generate-ss-query", "gen-exact-topk",
+                                      "serve"])
+    p.add_argument("--port", type=int, default=8471, help="serve action port")
     p.add_argument("--prefix", default="data", help="dataset root dir")
     p.add_argument("--dataset", required=True)
     p.add_argument("--algo", default="fora",
@@ -136,13 +138,27 @@ def main(argv=None) -> int:
         print(timers.report(), file=sys.stderr)
         return 0
 
-    # --- query actions ---
-    sources = query_io.load_queries(str(_query_file(args)))
     idx = None
     if args.with_idx:
         from . import index as widx
         idx = widx.load(_index_dir(args), rcfg)
         info("index loaded", dir=_index_dir(args))
+
+    if args.action == "serve":
+        from .algo import topk as topk_algo
+        from .serve import serve_forever
+        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+
+        def query_fn(sources, seed):
+            res = runner.query(jnp.asarray(sources),
+                               jax.random.key(seed))
+            return res.node_ids, res.values
+
+        serve_forever(query_fn, batch=args.batch, k=args.k, port=args.port)
+        return 0
+
+    # --- query actions ---
+    sources = query_io.load_queries(str(_query_file(args)))
 
     exact_dir = Path(args.prefix) / args.dataset / "exact"
     key = jax.random.key(args.seed)

@@ -122,10 +122,12 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     starts = np.repeat(np.arange(n, dtype=np.int32), counts)
     endpoints = np.empty(total, dtype=np.int32)
 
+    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes
     run = jax.jit(
         lambda s, k: walk_ops.run_walks(
-            graph, s[:, None], k, alpha=rcfg.alpha,
-            max_hops=rcfg.max_walk_hops)[:, 0])
+            graph, s.reshape(-1, 128), k, alpha=rcfg.alpha,
+            max_hops=rcfg.max_walk_hops).reshape(-1))
+    chunk = -(-chunk // 128) * 128
     n_chunks = max(1, math.ceil(total / chunk))
     for i in range(n_chunks):
         lo, hi = i * chunk, min((i + 1) * chunk, total)

@@ -1,0 +1,65 @@
+"""Serving-loop tests: protocol, micro-batching, stats (SURVEY M6)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from fora_tpu.serve import ForaServer
+
+
+def _echo_query_fn(sources, seed):
+    """Fake engine: top-3 'nodes' are source, source+1, source+2."""
+    B = len(sources)
+    ids = np.stack([sources + i for i in range(3)], axis=1)
+    vals = np.tile(np.array([0.5, 0.3, 0.2], np.float32), (B, 1))
+    return ids, vals
+
+
+async def _roundtrip(port, requests):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    out = []
+    for req in requests:
+        writer.write((json.dumps(req) + "\n").encode())
+        await writer.drain()
+        out.append(json.loads(await reader.readline()))
+    writer.close()
+    return out
+
+
+def test_server_roundtrip_and_batching():
+    async def main():
+        srv = ForaServer(_echo_query_fn, batch=4, k=3, max_wait_ms=10)
+        port = await srv.start(port=0)
+        # concurrent clients to exercise batching
+        results = await asyncio.gather(
+            *[_roundtrip(port, [{"id": i, "source": 10 + i}])
+              for i in range(6)])
+        for i, [resp] in enumerate(results):
+            assert resp["id"] == i
+            assert resp["nodes"] == [10 + i, 11 + i, 12 + i]
+            assert resp["scores"] == pytest.approx([0.5, 0.3, 0.2])
+        stats = (await _roundtrip(port, [{"cmd": "stats"}]))[0]
+        assert stats["queries"] == 6
+        assert stats["batches"] <= 6
+        await srv.stop()
+
+    asyncio.run(main())
+
+
+def test_server_k_clamp_and_errors():
+    async def main():
+        srv = ForaServer(_echo_query_fn, batch=2, k=3, max_wait_ms=1)
+        port = await srv.start(port=0)
+        [r1, r2, r3] = await _roundtrip(port, [
+            {"id": "a", "source": 5, "k": 2},
+            {"not_source": 1},
+            {"id": "b", "source": 7, "k": 99},
+        ])
+        assert r1["nodes"] == [5, 6]
+        assert "error" in r2
+        assert len(r3["nodes"]) == 3      # clamped to server k
+        await srv.stop()
+
+    asyncio.run(main())
