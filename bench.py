@@ -177,7 +177,7 @@ def main():
             index = widx.build_walk_index(dg, rcfg, jax.random.key(SEED))
             widx.save(index, rcfg, str(idx_dir))
             log(f"index built in {time.time()-t0:.1f}s "
-                f"({int(np.asarray(index.counts).sum())} endpoints)")
+                f"({index.total_edges} edges)")
 
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
                                   delta_stride=DSTRIDE)
@@ -193,16 +193,16 @@ def main():
     log(f"warmup done in {time.time()-t0:.1f}s "
         f"(levels compiled: {warm.levels_used})")
 
-    log(f"timing {len(src_batches)} batches of {BATCH} ...")
-    results = {}
-    t0 = time.time()
-    for i, sb in enumerate(src_batches):
-        res = runner.query(sb, jax.random.fold_in(key, i))
-        for b, s in enumerate(np.asarray(sb)):
-            results[int(s)] = res.node_ids[b]
-    elapsed = time.time() - t0
     n_q = len(src_batches) * BATCH
+    pool = np.concatenate([np.asarray(sb) for sb in src_batches])
+    log(f"timing {n_q} queries (level-pipelined, batch {BATCH}) ...")
+    t0 = time.time()
+    res = runner.query_pool(pool, jax.random.fold_in(key, 1), batch=BATCH)
+    elapsed = time.time() - t0
+    results = {int(s): res.node_ids[i] for i, s in enumerate(pool)}
     qps = n_q / elapsed
+    log(f"levels used (max): {res.levels_used}; "
+        f"accepted: {int(res.accepted.sum())}/{n_q}")
     log(f"ours: {n_q} queries in {elapsed:.2f}s -> {qps:.1f} q/s")
 
     exact_ids = get_exact(g, sources)

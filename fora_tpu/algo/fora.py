@@ -59,22 +59,38 @@ def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
         rmax = rcfg.rmax
     if omega_unit is None:
         omega_unit = rcfg.omega_unit
-    st = push_ops.forward_push(graph, sources, rmax=rmax,
-                               alpha=rcfg.alpha,
-                               max_iters=rcfg.max_push_iters)
-
     if index is not None:
-        from ..index.build import indexed_walk_contrib
-        contrib = indexed_walk_contrib(index, st.r, index_depth)
-        zero = jnp.zeros(st.r.shape[1], jnp.int32)
-        return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
-                          rsum=jnp.sum(st.r, axis=0), walk_total=zero,
-                          walk_overflow=zero.astype(bool))
+        from ..index.build import index_slices
+        buckets, counts_col = index_slices(index, index_depth)
+        return _fora_indexed_impl(graph, buckets, counts_col, sources, rmax,
+                                  alpha=rcfg.alpha,
+                                  max_push_iters=rcfg.max_push_iters)
+    return _fora_walk_impl(graph, sources, key, rmax, omega_unit,
+                           alpha=rcfg.alpha,
+                           max_push_iters=rcfg.max_push_iters,
+                           max_walk_hops=rcfg.max_walk_hops,
+                           num_lanes=num_lanes)
 
+
+def _fora_indexed_impl(graph, buckets, counts_col, sources, rmax, *,
+                       alpha, max_push_iters):
+    from ..index.build import indexed_walk_contrib_from_slices
+    st = push_ops.forward_push(graph, sources, rmax=rmax, alpha=alpha,
+                               max_iters=max_push_iters)
+    contrib = indexed_walk_contrib_from_slices(buckets, counts_col, st.r)
+    zero = jnp.zeros(st.r.shape[1], jnp.int32)
+    return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
+                      rsum=jnp.sum(st.r, axis=0), walk_total=zero,
+                      walk_overflow=zero.astype(bool))
+
+
+def _fora_walk_impl(graph, sources, key, rmax, omega_unit, *,
+                    alpha, max_push_iters, max_walk_hops, num_lanes):
+    st = push_ops.forward_push(graph, sources, rmax=rmax, alpha=alpha,
+                               max_iters=max_push_iters)
     alloc = walk_ops.allocate_walks(st.r, omega_unit, num_lanes)
-    endpoints = walk_ops.run_walks(graph, alloc.start, key,
-                                   alpha=rcfg.alpha,
-                                   max_hops=rcfg.max_walk_hops)
+    endpoints = walk_ops.run_walks(graph, alloc.start, key, alpha=alpha,
+                                   max_hops=max_walk_hops)
     contrib = walk_ops.accumulate_endpoints(endpoints, alloc.weight, graph.n)
     return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
                       rsum=jnp.sum(st.r, axis=0), walk_total=alloc.total,
@@ -106,13 +122,32 @@ def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
                        num_lanes: int, index=None, index_depth: int = 0):
     """Jitted ``(sources, key, rmax, omega_unit) -> ForaResult`` with the
     guarantee parameters as runtime scalars (one compile per lane bucket /
-    index depth)."""
+    index depth).
 
-    @jax.jit
+    All graph/index arrays enter the jitted program as ARGUMENTS (pytree
+    leaves), never closure constants — closure-captured arrays are embedded
+    into the HLO, which defeats the compile cache and overflows the
+    remote-compile transport at scale.
+    """
+    if index is not None:
+        from ..index.build import index_slices
+        buckets, counts_col = index_slices(index, index_depth)
+        impl = jax.jit(functools.partial(
+            _fora_indexed_impl, alpha=rcfg.alpha,
+            max_push_iters=rcfg.max_push_iters))
+
+        def fn(sources, key, rmax, omega_unit):
+            del key, omega_unit  # indexed mode is deterministic
+            return impl(graph, buckets, counts_col, sources, rmax)
+
+        return fn
+
+    impl = jax.jit(functools.partial(
+        _fora_walk_impl, alpha=rcfg.alpha,
+        max_push_iters=rcfg.max_push_iters,
+        max_walk_hops=rcfg.max_walk_hops, num_lanes=num_lanes))
+
     def fn(sources, key, rmax, omega_unit):
-        return fora_query(graph, sources, key, rcfg=rcfg,
-                          num_lanes=num_lanes, rmax=rmax,
-                          omega_unit=omega_unit, index=index,
-                          index_depth=index_depth)
+        return impl(graph, sources, key, rmax, omega_unit)
 
     return fn

@@ -31,11 +31,14 @@ def montecarlo_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array,
 
 def make_montecarlo_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
                        max_walks: int = 1 << 22):
+    import functools
     num_walks = min(int(rcfg.omega_unit) + 1, max_walks)
+    # graph passes as a jit argument, not a closure constant (see
+    # make_fora_param_fn docstring)
+    impl = jax.jit(functools.partial(montecarlo_query, rcfg=rcfg,
+                                     num_walks=num_walks))
 
-    @jax.jit
     def fn(sources, key):
-        return montecarlo_query(graph, sources, key, rcfg=rcfg,
-                                num_walks=num_walks)
+        return impl(graph, sources, key)
 
     return fn

@@ -125,3 +125,53 @@ class TopkRunner:
                           values=np.asarray(best_vals),
                           levels_used=levels,
                           accepted=np.asarray(accepted))
+
+    def query_pool(self, sources: np.ndarray, key: jax.Array,
+                   batch: int) -> TopkResult:
+        """Level-pipelined batching over a pool of queries.
+
+        ``query`` advances a whole batch to deeper levels until EVERY query
+        accepts, so one straggler drags the full batch through the most
+        expensive levels.  Here accepted queries exit at their level and
+        only the stragglers re-batch deeper: amortized cost per query is
+        sum_l P(reach level l) * cost_l — the batched analog of the
+        reference's per-query early exit.
+        """
+        sources = np.asarray(sources)
+        n_q = len(sources)
+        k, eps = self.k, self.rcfg.epsilon
+        out_ids = np.zeros((n_q, k), np.int32)
+        out_vals = np.zeros((n_q, k), np.float32)
+        out_levels = np.zeros(n_q, np.int32)
+        accepted = np.zeros(n_q, bool)
+        pending = np.arange(n_q)
+        for level, d in enumerate(self.deltas):
+            if len(pending) == 0:
+                break
+            ckey, rmax, omega_unit = self._levels[level]
+            fn = self._fn(ckey)
+            last = level == len(self.deltas) - 1
+            next_pending = []
+            for lo in range(0, len(pending), batch):
+                chunk = pending[lo: lo + batch]
+                pad = batch - len(chunk)
+                src = np.concatenate(
+                    [sources[chunk], np.repeat(sources[chunk[-1:]], pad)])
+                res = fn(jnp.asarray(src, jnp.int32),
+                         jax.random.fold_in(key, level * 10007 + lo),
+                         jnp.float32(rmax), jnp.float32(omega_unit))
+                vals, idx = topk_ops.topk_nodes(res.ppr, k)
+                vals = np.asarray(vals)[: len(chunk)]
+                idx = np.asarray(idx)[: len(chunk)]
+                ok = vals[:, -1] >= (1 + eps) * d
+                take = np.logical_or(ok, last)
+                sel = chunk[take]
+                out_ids[sel] = idx[take]
+                out_vals[sel] = vals[take]
+                out_levels[sel] = level + 1
+                accepted[sel] = ok[take]
+                next_pending.extend(chunk[~take])
+            pending = np.asarray(next_pending, dtype=np.int64)
+        return TopkResult(node_ids=out_ids, values=out_vals,
+                          levels_used=int(out_levels.max(initial=0)),
+                          accepted=accepted)

@@ -186,7 +186,16 @@ def main(argv=None) -> int:
             for b in range(valid):
                 results[int(chunk[b])] = (np.asarray(ids[b]),
                                           np.asarray(vals[b]))
-    else:  # topk / batch-topk
+    elif args.action == "batch-topk":
+        # level-pipelined pool scheduling: accepted queries exit early,
+        # stragglers re-batch at deeper delta levels
+        from .algo import topk as topk_algo
+        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+        with timers.phase("topk"):
+            res = runner.query_pool(sources, key, batch=args.batch)
+        for i, s in enumerate(sources):
+            results[int(s)] = (res.node_ids[i], res.values[i])
+    else:  # topk
         from .algo import topk as topk_algo
         runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
         for chunk, valid in _batched(sources, args.batch):

@@ -201,27 +201,43 @@ def index_nbytes(index: WalkIndex) -> int:
     return index.total_edges * 8 + index.counts_cum.size * 4
 
 
-def indexed_walk_contrib(index: WalkIndex, r: jnp.ndarray, depth: int
-                         ) -> jnp.ndarray:
-    """Walk-phase estimate as a weighted SpMV over the depth-q edge slice.
+def index_slices(index: WalkIndex, depth: int):
+    """Device-array views used by a depth-``depth`` query, suitable for
+    passing as jit ARGUMENTS (never close big arrays into a jitted fn: the
+    tracer embeds them as HLO constants, which breaks the compile cache
+    and overflows the remote-compile transport)."""
+    buckets = []
+    for q in range(depth, NUM_BUCKETS):
+        lo, hi = int(index.bucket_offsets[q]), int(index.bucket_offsets[q + 1])
+        if hi > lo:
+            buckets.append((index.edge_src[lo:hi], index.edge_dst[lo:hi]))
+    counts_col = index.counts_cum[:, depth]
+    return tuple(buckets), counts_col
+
+
+def indexed_walk_contrib_from_slices(buckets, counts_col, r: jnp.ndarray
+                                     ) -> jnp.ndarray:
+    """Walk-phase estimate as a weighted SpMV over pre-sliced bucket edges.
 
     r: [n, B] post-push residue.  Returns [n, B] endpoint mass:
       contrib[t] = sum over index edges (v -> t) at depth q of
-                   r[v] / counts_cum[v, q].
+                   r[v] / counts_col[v].
     One gather + one sorted segment_sum per bucket — same memory pattern
     as a push superstep, no RNG.
     """
     n = r.shape[0]
-    inv_cnt = 1.0 / jnp.maximum(
-        index.counts_cum[:, depth], 1).astype(jnp.float32)
+    inv_cnt = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
     rw = r * inv_cnt[:, None]                             # [n, B]
     contrib = jnp.zeros_like(r)
-    for q in range(depth, NUM_BUCKETS):
-        lo, hi = int(index.bucket_offsets[q]), int(index.bucket_offsets[q + 1])
-        if hi == lo:
-            continue
-        vals = rw[index.edge_src[lo:hi]]                  # [E_q, B]
+    for src, dst in buckets:
+        vals = rw[src]                                    # [E_q, B]
         contrib = contrib + jax.ops.segment_sum(
-            vals, index.edge_dst[lo:hi], num_segments=n,
-            indices_are_sorted=True)
+            vals, dst, num_segments=n, indices_are_sorted=True)
     return contrib
+
+
+def indexed_walk_contrib(index: WalkIndex, r: jnp.ndarray, depth: int
+                         ) -> jnp.ndarray:
+    """Convenience wrapper over index_slices + *_from_slices."""
+    buckets, counts_col = index_slices(index, depth)
+    return indexed_walk_contrib_from_slices(buckets, counts_col, r)

@@ -58,8 +58,23 @@ def _shard_fora_topk(
     idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
     *, rcfg: ResolvedConfig, n_loc: int, num_lanes_loc: int, k: int,
     use_index: bool, index_depth: int = 0,
-    index_bucket_offsets=None,
+    index_bucket_offsets=None, pallas_ring: bool = False,
+    pallas_interpret: bool = False, n_graph_shards: int = 1,
 ):
+    from ..ops import ring as ring_ops
+
+    def frontier_all_gather(v):
+        if pallas_ring:
+            return ring_ops.ring_all_gather(v, GRAPH_AXIS, n_graph_shards,
+                                            interpret=pallas_interpret)
+        return jax.lax.all_gather(v, GRAPH_AXIS, axis=0, tiled=True)
+
+    def mass_reduce_scatter(v):
+        if pallas_ring:
+            return ring_ops.ring_reduce_scatter(v, GRAPH_AXIS, n_graph_shards,
+                                                interpret=pallas_interpret)
+        return jax.lax.psum_scatter(v, GRAPH_AXIS, scatter_dimension=0,
+                                    tiled=True)
     g_id = jax.lax.axis_index(GRAPH_AXIS)
     Bq = sources.shape[0]
     row0 = g_id * n_loc
@@ -92,8 +107,7 @@ def _shard_fora_topk(
         contrib = jnp.where(dangling, 0.0,
                             (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
         # frontier exchange: every shard needs contributions of all rows
-        contrib_full = jax.lax.all_gather(contrib, GRAPH_AXIS,
-                                          axis=0, tiled=True)  # [n_pad, Bq]
+        contrib_full = frontier_all_gather(contrib)            # [n_pad, Bq]
         vals = contrib_full[in_src]                            # [m_loc, Bq]
         delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
                                     indices_are_sorted=True)[:n_loc]
@@ -139,8 +153,7 @@ def _shard_fora_topk(
                                                     n_pad)  # [n_pad, Bq]
         overflow = alloc.overflow
 
-    walk_loc = jax.lax.psum_scatter(contrib_all, GRAPH_AXIS,
-                                    scatter_dimension=0, tiled=True)
+    walk_loc = mass_reduce_scatter(contrib_all)
     ppr_loc = p + walk_loc                                    # [n_loc, Bq]
 
     # --- top-k merge: k local candidates -> all_gather -> global top-k ---
@@ -165,7 +178,8 @@ class ShardedForaEngine:
     def __init__(self, g: CSRGraph, mesh: jax.sharding.Mesh,
                  rcfg: ResolvedConfig, *, k: Optional[int] = None,
                  index=None, num_lanes: Optional[int] = None,
-                 max_lanes: int = 1 << 23, lane_slack: float = 2.0):
+                 max_lanes: int = 1 << 23, lane_slack: float = 2.0,
+                 pallas_ring: bool = False, pallas_interpret: bool = False):
         self.mesh = mesh
         self.rcfg = rcfg
         self.k = k if k is not None else rcfg.k
@@ -209,7 +223,8 @@ class ShardedForaEngine:
             _shard_fora_topk, rcfg=rcfg, n_loc=pg.n_loc,
             num_lanes_loc=self.num_lanes_loc, k=self.k,
             use_index=self.use_index, index_depth=index_depth,
-            index_bucket_offsets=bucket_offsets)
+            index_bucket_offsets=bucket_offsets, pallas_ring=pallas_ring,
+            pallas_interpret=pallas_interpret, n_graph_shards=G)
         mapped = shard_map(
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,

@@ -92,3 +92,19 @@ def test_fora_deterministic_given_key():
     a = fn(jnp.array([7]), jax.random.key(5))
     b = fn(jnp.array([7]), jax.random.key(5))
     assert np.array_equal(np.asarray(a.ppr), np.asarray(b.ppr))
+
+
+def test_topk_query_pool_matches_query():
+    """Level-pipelined pool scheduling returns the same accepted top-k sets
+    as the all-advance batch loop."""
+    from fora_tpu.algo import topk as topk_algo
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    runner = topk_algo.TopkRunner(dg, rcfg, k=8)
+    sources = np.arange(20)
+    pool = runner.query_pool(sources, jax.random.key(9), batch=8)
+    assert pool.node_ids.shape == (20, 8)
+    assert pool.accepted.all()
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0] for s in sources])
+    assert metrics.batch_precision_at_k(pool.node_ids, exact_ids) >= 0.85
