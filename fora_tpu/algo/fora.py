@@ -74,27 +74,52 @@ def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
 
 def _fora_indexed_impl(graph, buckets, counts_col, sources, rmax, *,
                        alpha, max_push_iters):
+    st0 = push_ops.init_state(graph.n, sources)
+    res, _, _ = _fora_indexed_state_impl(graph, buckets, counts_col,
+                                         st0.p, st0.r, rmax, alpha=alpha,
+                                         max_push_iters=max_push_iters)
+    return res
+
+
+def _fora_indexed_state_impl(graph, buckets, counts_col, p0, r0, rmax, *,
+                             alpha, max_push_iters):
+    """Indexed FORA resuming push from (p0, r0); also returns the new state
+    so the next (finer) delta level continues instead of re-pushing."""
     from ..index.build import indexed_walk_contrib_from_slices
-    st = push_ops.forward_push(graph, sources, rmax=rmax, alpha=alpha,
-                               max_iters=max_push_iters)
+    st = push_ops.forward_push_from(
+        graph, push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32)),
+        rmax=rmax, alpha=alpha, max_iters=max_push_iters)
     contrib = indexed_walk_contrib_from_slices(buckets, counts_col, st.r)
     zero = jnp.zeros(st.r.shape[1], jnp.int32)
-    return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
-                      rsum=jnp.sum(st.r, axis=0), walk_total=zero,
-                      walk_overflow=zero.astype(bool))
+    res = ForaResult(ppr=st.p + contrib, push_iters=st.iters,
+                     rsum=jnp.sum(st.r, axis=0), walk_total=zero,
+                     walk_overflow=zero.astype(bool))
+    return res, st.p, st.r
 
 
 def _fora_walk_impl(graph, sources, key, rmax, omega_unit, *,
                     alpha, max_push_iters, max_walk_hops, num_lanes):
-    st = push_ops.forward_push(graph, sources, rmax=rmax, alpha=alpha,
-                               max_iters=max_push_iters)
+    st0 = push_ops.init_state(graph.n, sources)
+    res, _, _ = _fora_walk_state_impl(
+        graph, st0.p, st0.r, key, rmax, omega_unit, alpha=alpha,
+        max_push_iters=max_push_iters, max_walk_hops=max_walk_hops,
+        num_lanes=num_lanes)
+    return res
+
+
+def _fora_walk_state_impl(graph, p0, r0, key, rmax, omega_unit, *,
+                          alpha, max_push_iters, max_walk_hops, num_lanes):
+    st = push_ops.forward_push_from(
+        graph, push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32)),
+        rmax=rmax, alpha=alpha, max_iters=max_push_iters)
     alloc = walk_ops.allocate_walks(st.r, omega_unit, num_lanes)
     endpoints = walk_ops.run_walks(graph, alloc.start, key, alpha=alpha,
                                    max_hops=max_walk_hops)
     contrib = walk_ops.accumulate_endpoints(endpoints, alloc.weight, graph.n)
-    return ForaResult(ppr=st.p + contrib, push_iters=st.iters,
-                      rsum=jnp.sum(st.r, axis=0), walk_total=alloc.total,
-                      walk_overflow=alloc.overflow)
+    res = ForaResult(ppr=st.p + contrib, push_iters=st.iters,
+                     rsum=jnp.sum(st.r, axis=0), walk_total=alloc.total,
+                     walk_overflow=alloc.overflow)
+    return res, st.p, st.r
 
 
 def make_fora_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
@@ -149,5 +174,34 @@ def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
 
     def fn(sources, key, rmax, omega_unit):
         return impl(graph, sources, key, rmax, omega_unit)
+
+    return fn
+
+
+def make_fora_state_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
+                       num_lanes: int, index=None, index_depth: int = 0):
+    """Jitted ``(p0, r0, key, rmax, omega_unit) -> (ForaResult, p, r)``:
+    push resumes from the given state (incremental refinement across delta
+    levels — see forward_push_from)."""
+    if index is not None:
+        from ..index.build import index_slices
+        buckets, counts_col = index_slices(index, index_depth)
+        impl = jax.jit(functools.partial(
+            _fora_indexed_state_impl, alpha=rcfg.alpha,
+            max_push_iters=rcfg.max_push_iters))
+
+        def fn(p0, r0, key, rmax, omega_unit):
+            del key, omega_unit
+            return impl(graph, buckets, counts_col, p0, r0, rmax)
+
+        return fn
+
+    impl = jax.jit(functools.partial(
+        _fora_walk_state_impl, alpha=rcfg.alpha,
+        max_push_iters=rcfg.max_push_iters,
+        max_walk_hops=rcfg.max_walk_hops, num_lanes=num_lanes))
+
+    def fn(p0, r0, key, rmax, omega_unit):
+        return impl(graph, p0, r0, key, rmax, omega_unit)
 
     return fn

@@ -73,6 +73,7 @@ class TopkRunner:
         self.rcfg = rcfg
         self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
         self._fns = {}
+        self._sfns = {}
         self._max_lanes = max_lanes
         self._index = index
         # per level: (compile key, rmax, omega_unit); the compile key is the
@@ -126,52 +127,98 @@ class TopkRunner:
                           levels_used=levels,
                           accepted=np.asarray(accepted))
 
+    def _state_fn(self, key: int):
+        if key not in self._sfns:
+            if self._index is not None:
+                self._sfns[key] = fora.make_fora_state_fn(
+                    self.graph, self.rcfg, 0, index=self._index,
+                    index_depth=key)
+            else:
+                self._sfns[key] = fora.make_fora_state_fn(
+                    self.graph, self.rcfg, key)
+        return self._sfns[key]
+
     def query_pool(self, sources: np.ndarray, key: jax.Array,
                    batch: int) -> TopkResult:
-        """Level-pipelined batching over a pool of queries.
+        """Level-pipelined batching over a pool of queries with incremental
+        push.
 
         ``query`` advances a whole batch to deeper levels until EVERY query
         accepts, so one straggler drags the full batch through the most
-        expensive levels.  Here accepted queries exit at their level and
-        only the stragglers re-batch deeper: amortized cost per query is
-        sum_l P(reach level l) * cost_l — the batched analog of the
-        reference's per-query early exit.
+        expensive levels, and every level re-pushes from scratch.  Here
+
+          * accepted queries exit at their level; only stragglers re-batch
+            deeper (amortized cost sum_l P(reach l) * cost_l), and
+          * each level RESUMES push from the previous level's (p, r) state
+            (forward_push_from), so total push work across the schedule
+            collapses to about the deepest level reached.
         """
+        import math
+
         sources = np.asarray(sources)
+        n = self.rcfg.n
         n_q = len(sources)
         k, eps = self.k, self.rcfg.epsilon
         out_ids = np.zeros((n_q, k), np.int32)
         out_vals = np.zeros((n_q, k), np.float32)
-        out_levels = np.zeros(n_q, np.int32)
+        max_level = 0
         accepted = np.zeros(n_q, bool)
         pending = np.arange(n_q)
+
+        # pool state columns aligned with `pending` (padded to batch)
+        def padded(cols):
+            pad = (-len(cols)) % batch
+            return np.concatenate([cols, np.zeros(pad, np.int64)]), pad
+
+        cols, _ = padded(pending)
+        src_pad = jnp.asarray(sources[cols], jnp.int32)
+        p_state = jnp.zeros((n, len(cols)), jnp.float32)
+        r_state = jnp.zeros((n, len(cols)), jnp.float32).at[
+            src_pad, jnp.arange(len(cols))].set(1.0)
+
         for level, d in enumerate(self.deltas):
             if len(pending) == 0:
                 break
+            max_level = level + 1
             ckey, rmax, omega_unit = self._levels[level]
-            fn = self._fn(ckey)
+            fn = self._state_fn(ckey)
             last = level == len(self.deltas) - 1
-            next_pending = []
-            for lo in range(0, len(pending), batch):
-                chunk = pending[lo: lo + batch]
-                pad = batch - len(chunk)
-                src = np.concatenate(
-                    [sources[chunk], np.repeat(sources[chunk[-1:]], pad)])
-                res = fn(jnp.asarray(src, jnp.int32),
-                         jax.random.fold_in(key, level * 10007 + lo),
-                         jnp.float32(rmax), jnp.float32(omega_unit))
+            keep_cols = []
+            new_p, new_r = [], []
+            for lo in range(0, p_state.shape[1], batch):
+                pc = p_state[:, lo: lo + batch]
+                rc = r_state[:, lo: lo + batch]
+                res, pc, rc = fn(pc, rc,
+                                 jax.random.fold_in(key, level * 10007 + lo),
+                                 jnp.float32(rmax), jnp.float32(omega_unit))
                 vals, idx = topk_ops.topk_nodes(res.ppr, k)
-                vals = np.asarray(vals)[: len(chunk)]
-                idx = np.asarray(idx)[: len(chunk)]
-                ok = vals[:, -1] >= (1 + eps) * d
-                take = np.logical_or(ok, last)
-                sel = chunk[take]
-                out_ids[sel] = idx[take]
-                out_vals[sel] = vals[take]
-                out_levels[sel] = level + 1
-                accepted[sel] = ok[take]
-                next_pending.extend(chunk[~take])
-            pending = np.asarray(next_pending, dtype=np.int64)
+                vals, idx = np.asarray(vals), np.asarray(idx)
+                for b in range(batch):
+                    g = lo + b
+                    if g >= len(pending):
+                        continue
+                    q = pending[g]
+                    ok = bool(vals[b, -1] >= (1 + eps) * d)
+                    if ok or last:
+                        out_ids[q] = idx[b]
+                        out_vals[q] = vals[b]
+                        accepted[q] = ok
+                    else:
+                        keep_cols.append(g)
+                new_p.append(pc)
+                new_r.append(rc)
+            if not keep_cols:
+                pending = pending[:0]
+                break
+            keep = np.asarray(keep_cols)
+            pending = pending[keep]
+            p_all = jnp.concatenate(new_p, axis=1)
+            r_all = jnp.concatenate(new_r, axis=1)
+            take = jnp.asarray(
+                np.concatenate([keep,
+                                np.repeat(keep[-1:], (-len(keep)) % batch)]))
+            p_state = jnp.take(p_all, take, axis=1)
+            r_state = jnp.take(r_all, take, axis=1)
+
         return TopkResult(node_ids=out_ids, values=out_vals,
-                          levels_used=int(out_levels.max(initial=0)),
-                          accepted=accepted)
+                          levels_used=max_level, accepted=accepted)

@@ -73,8 +73,21 @@ def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
     Jit-safe: data-dependent termination via ``lax.while_loop`` on the
     frontier predicate; no host round-trips (SURVEY.md Sec. 7.3).
     """
+    return forward_push_from(graph, init_state(graph.n, sources),
+                             rmax=rmax, alpha=alpha, max_iters=max_iters)
+
+
+def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
+                      alpha: float, max_iters: int = 200) -> PushState:
+    """Continue pushing from an existing (p, r) state to a tighter rmax.
+
+    The FORA invariant pi = p + sum_v r[v] pi_v holds at every superstep,
+    so a finer delta level may resume from the previous level's state —
+    total push work across a refinement schedule collapses to roughly the
+    deepest level's (SURVEY.md Sec. 3.2 refinement loop, incrementalized).
+    """
     deg = graph.out_deg.astype(jnp.float32)[:, None]
-    state0 = init_state(graph.n, sources)
+    state0 = state0._replace(iters=jnp.zeros((), jnp.int32))  # per-call cap
 
     def cond(s: PushState):
         return jnp.logical_and(s.iters < max_iters,
