@@ -42,12 +42,16 @@ def env_int(k, d):
     return int(os.environ.get(k, d))
 
 
-# persistent XLA compile cache (TPU compiles go through a slow remote
-# tunnel in this image); must be set before jax initializes
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(Path(os.environ.get("FORA_BENCH_CACHE", "bench_data")) / "jaxcache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+def enable_compile_cache():
+    """Persistent XLA compile cache (TPU compiles go through a slow remote
+    tunnel in this image).  The image's sitecustomize imports jax before
+    this file runs, so env vars are too late — use jax.config."""
+    import jax
+    cache_dir = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data")) / "jaxcache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
@@ -152,6 +156,7 @@ def run_cpp_baseline(g, sources):
 def main():
     import jax
     import jax.numpy as jnp
+    enable_compile_cache()
     from fora_tpu.algo import topk as topk_algo
     from fora_tpu.config import ForaConfig
     from fora_tpu.eval import metrics
@@ -186,12 +191,13 @@ def main():
                    for i in range(0, QUERIES, BATCH)
                    if i + BATCH <= QUERIES]
 
-    # warmup: compile all delta levels once
+    # warmup: compile all delta levels of the pool path once
     log("warmup/compile ...")
     t0 = time.time()
-    warm = runner.query(src_batches[0], jax.random.fold_in(key, 999))
+    warm = runner.query_pool(np.asarray(src_batches[0]),
+                             jax.random.fold_in(key, 999), batch=BATCH)
     log(f"warmup done in {time.time()-t0:.1f}s "
-        f"(levels compiled: {warm.levels_used})")
+        f"(levels: {warm.levels_used})")
 
     n_q = len(src_batches) * BATCH
     pool = np.concatenate([np.asarray(sb) for sb in src_batches])

@@ -178,11 +178,84 @@ def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
     return fn
 
 
+class StagedForaPrograms:
+    """Shared compiled pieces for the indexed refinement loop.
+
+    Fusing push + index-SpMV per depth compiles one large program per
+    level; through this image's slow remote-compile tunnel that dominates
+    warmup.  Staging instead compiles
+      * ONE push-from-state program (rmax is a runtime scalar), and
+      * one small SpMV program PER BUCKET (shapes fixed by the index),
+    and every delta level is a composition — adding levels adds zero
+    compilations.
+    """
+
+    def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index):
+        from ..index import build as ib
+        self.graph, self.rcfg, self.index = graph, rcfg, index
+        self._push = jax.jit(functools.partial(
+            push_ops.forward_push_from, alpha=rcfg.alpha,
+            max_iters=rcfg.max_push_iters))
+
+        def bucket_spmv(src, dst, rw, contrib):
+            vals = rw[src]
+            return contrib + jax.ops.segment_sum(
+                vals, dst, num_segments=rcfg.n, indices_are_sorted=True)
+
+        self._bucket = jax.jit(bucket_spmv)
+        self._buckets = []          # [(src, dst)] per bucket q
+        for q in range(ib.NUM_BUCKETS):
+            lo = int(index.bucket_offsets[q])
+            hi = int(index.bucket_offsets[q + 1])
+            self._buckets.append(
+                (index.edge_src[lo:hi], index.edge_dst[lo:hi])
+                if hi > lo else None)
+
+        def weight_and_zero(r, counts_col):
+            inv = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
+            return r * inv[:, None], jnp.zeros_like(r)
+
+        self._weight = jax.jit(weight_and_zero)
+
+        def finish(p, contrib, r, iters):
+            zero = jnp.zeros(r.shape[1], jnp.int32)
+            return ForaResult(ppr=p + contrib, push_iters=iters,
+                              rsum=jnp.sum(r, axis=0), walk_total=zero,
+                              walk_overflow=zero.astype(bool))
+
+        self._finish = jax.jit(finish)
+
+    def state_fn(self, index_depth: int):
+        from ..index import build as ib
+
+        def fn(p0, r0, key, rmax, omega_unit):
+            del key, omega_unit
+            st = self._push(
+                self.graph,
+                push_ops.PushState(p=p0, r=r0,
+                                   iters=jnp.zeros((), jnp.int32)),
+                rmax=jnp.float32(rmax))
+            rw, contrib = self._weight(
+                st.r, self.index.counts_cum[:, index_depth])
+            for q in range(index_depth, ib.NUM_BUCKETS):
+                if self._buckets[q] is None:
+                    continue
+                src, dst = self._buckets[q]
+                contrib = self._bucket(src, dst, rw, contrib)
+            return self._finish(st.p, contrib, st.r, st.iters), st.p, st.r
+
+        return fn
+
+
 def make_fora_state_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
-                       num_lanes: int, index=None, index_depth: int = 0):
+                       num_lanes: int, index=None, index_depth: int = 0,
+                       staged=None):
     """Jitted ``(p0, r0, key, rmax, omega_unit) -> (ForaResult, p, r)``:
     push resumes from the given state (incremental refinement across delta
-    levels — see forward_push_from)."""
+    levels — see forward_push_from).  With ``staged`` (a
+    StagedForaPrograms), indexed mode composes shared compiled pieces."""
+    if staged is not None:
+        return staged.state_fn(index_depth)
     if index is not None:
         from ..index.build import index_slices
         buckets, counts_col = index_slices(index, index_depth)

@@ -74,6 +74,7 @@ class TopkRunner:
         self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
         self._fns = {}
         self._sfns = {}
+        self._staged = None
         self._max_lanes = max_lanes
         self._index = index
         # per level: (compile key, rmax, omega_unit); the compile key is the
@@ -130,9 +131,10 @@ class TopkRunner:
     def _state_fn(self, key: int):
         if key not in self._sfns:
             if self._index is not None:
-                self._sfns[key] = fora.make_fora_state_fn(
-                    self.graph, self.rcfg, 0, index=self._index,
-                    index_depth=key)
+                if self._staged is None:
+                    self._staged = fora.StagedForaPrograms(
+                        self.graph, self.rcfg, self._index)
+                self._sfns[key] = self._staged.state_fn(key)
             else:
                 self._sfns[key] = fora.make_fora_state_fn(
                     self.graph, self.rcfg, key)

@@ -136,3 +136,27 @@ def test_index_compat_rejects_coarser(tmp_path):
     other_graph = ForaConfig(epsilon=0.5).resolved(g.n + 1, g.m)
     with pytest.raises(ValueError, match="different graph"):
         widx.load(str(tmp_path / "idx"), other_graph)
+
+
+def test_staged_query_pool_matches_fused():
+    """The staged (shared compiled pieces) indexed pool runner matches the
+    per-depth fused path bit-for-bit (both are deterministic SpMV)."""
+    from fora_tpu.algo import topk as topk_algo
+    g = generators.erdos_renyi(400, 4000, seed=17)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(20))
+    runner = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx)  # staged path
+    sources = np.arange(16)
+    pool = runner.query_pool(sources, jax.random.key(21), batch=8)
+    # fused per-depth state path
+    fused_fn = fora.make_fora_state_fn(dg, rcfg, 0, index=idx, index_depth=0)
+    from fora_tpu.ops import push as push_ops
+    import jax.numpy as jnp
+    st0 = push_ops.init_state(g.n, jnp.asarray(sources[:8], jnp.int32))
+    res_f, _, _ = fused_fn(st0.p, st0.r, None,
+                           np.float32(rcfg.rmax), None)
+    staged = fora.StagedForaPrograms(dg, rcfg, idx).state_fn(0)
+    res_s, _, _ = staged(st0.p, st0.r, None, np.float32(rcfg.rmax), None)
+    np.testing.assert_allclose(np.asarray(res_f.ppr), np.asarray(res_s.ppr),
+                               rtol=1e-6, atol=1e-8)
