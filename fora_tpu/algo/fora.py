@@ -198,9 +198,7 @@ class StagedForaPrograms:
             max_iters=rcfg.max_push_iters))
 
         def bucket_spmv(src, dst, rw, contrib):
-            vals = rw[src]
-            return contrib + jax.ops.segment_sum(
-                vals, dst, num_segments=rcfg.n, indices_are_sorted=True)
+            return contrib + push_ops.gather_segment_sum(rw, src, dst, rcfg.n)
 
         self._bucket = jax.jit(bucket_spmv)
         self._buckets = []          # [(src, dst)] per bucket q

@@ -225,14 +225,13 @@ def indexed_walk_contrib_from_slices(buckets, counts_col, r: jnp.ndarray
     One gather + one sorted segment_sum per bucket — same memory pattern
     as a push superstep, no RNG.
     """
+    from ..ops.push import gather_segment_sum
     n = r.shape[0]
     inv_cnt = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
     rw = r * inv_cnt[:, None]                             # [n, B]
     contrib = jnp.zeros_like(r)
     for src, dst in buckets:
-        vals = rw[src]                                    # [E_q, B]
-        contrib = contrib + jax.ops.segment_sum(
-            vals, dst, num_segments=n, indices_are_sorted=True)
+        contrib = contrib + gather_segment_sum(rw, src, dst, n)
     return contrib
 
 

@@ -47,8 +47,49 @@ def init_state(n: int, sources: jnp.ndarray) -> PushState:
                      iters=jnp.zeros((), jnp.int32))
 
 
+def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
+                       dst: jnp.ndarray, n: int,
+                       max_chunk: int = 1 << 23) -> jnp.ndarray:
+    """out[t] += sum over edges e with dst[e]==t of values[src[e]].
+
+    The [E, B] gathered intermediate is materialized by XLA; for large
+    edge sets it is processed in chunks under lax.scan so peak memory is
+    [max_chunk, B].  Edges must be dst-sorted (sorted segment_sum).
+    (A Pallas DMA-pipelined gather was measured at 15 GB/s vs XLA's
+    37 GB/s effective for random 512-byte rows on v5e — per-row descriptor
+    overhead loses; XLA's gather is the practical ceiling here.)
+    """
+    E = src.shape[0]
+    B = values.shape[1]
+    if E <= max_chunk:
+        return jax.ops.segment_sum(values[src], dst, num_segments=n,
+                                   indices_are_sorted=True)
+    n_chunks = -(-E // max_chunk)
+    pad = n_chunks * max_chunk - E
+    # pad with a zero-contribution self-edge (src points at a zero row we
+    # add; dst points at dropped segment n)
+    values_pad = jnp.concatenate(
+        [values, jnp.zeros((1, B), values.dtype)], axis=0)
+    src_p = jnp.concatenate(
+        [src, jnp.full((pad,), values.shape[0], src.dtype)]).reshape(
+        n_chunks, max_chunk)
+    dst_p = jnp.concatenate(
+        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
+
+    def body(acc, chunk):
+        s, d = chunk
+        acc = acc + jax.ops.segment_sum(values_pad[s], d,
+                                        num_segments=n + 1,
+                                        indices_are_sorted=True)
+        return acc, None
+
+    acc0 = jnp.zeros((n + 1, B), values.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p))
+    return acc[:n]
+
+
 def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
-               state: PushState) -> PushState:
+               state: PushState, max_chunk: int = 1 << 23) -> PushState:
     n = graph.n
     deg = graph.out_deg.astype(jnp.float32)[:, None]          # [n, 1]
     dangling = deg == 0.0
@@ -59,9 +100,8 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
     contrib = jnp.where(dangling, 0.0,
                         (1.0 - alpha) * ar / jnp.maximum(deg, 1.0))
 
-    edge_vals = contrib[graph.in_src]                          # [m, B] gather
-    delta = jax.ops.segment_sum(edge_vals, graph.in_dst, num_segments=n,
-                                indices_are_sorted=True)       # [n, B]
+    delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
+                               max_chunk=max_chunk)
     r = jnp.where(active, 0.0, state.r) + delta
     return PushState(p=p, r=r, iters=state.iters + 1)
 

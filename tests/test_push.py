@@ -64,3 +64,19 @@ def test_push_batch_independent_of_batching():
     batch = push_ops.forward_push(dg, jnp.array([3, 7, 11]), rmax=1e-4, alpha=0.2)
     np.testing.assert_allclose(np.asarray(single.p[:, 0]),
                                np.asarray(batch.p[:, 1]), atol=1e-6)
+
+
+def test_gather_segment_sum_chunked_matches():
+    """Edge-chunked scan path == one-shot path (large-graph memory mode)."""
+    rng = np.random.default_rng(31)
+    n, E, B = 97, 4000, 8
+    values = jnp.asarray(rng.random((n, B)), jnp.float32)
+    dst = np.sort(rng.integers(0, n, E))
+    src = rng.integers(0, n, E)
+    one = push_ops.gather_segment_sum(values, jnp.asarray(src, jnp.int32),
+                                      jnp.asarray(dst, jnp.int32), n)
+    chunked = push_ops.gather_segment_sum(
+        values, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32), n,
+        max_chunk=512)  # forces 8 chunks incl. a padded tail
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(one),
+                               rtol=1e-5, atol=1e-6)
