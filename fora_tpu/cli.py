@@ -20,6 +20,7 @@ Algorithms (--algo): fora (default), montecarlo, fwdpush.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -40,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("action", choices=["query", "topk", "batch-topk", "build",
                                       "generate-ss-query", "gen-exact-topk",
-                                      "serve"])
+                                      "serve", "sweep"])
     p.add_argument("--port", type=int, default=8471, help="serve action port")
+    p.add_argument("--sweep-eps", default="0.1,0.2,0.35,0.5",
+                   help="epsilon grid for the sweep action")
     p.add_argument("--prefix", default="data", help="dataset root dir")
     p.add_argument("--dataset", required=True)
     p.add_argument("--algo", default="fora",
@@ -135,6 +138,44 @@ def main(argv=None) -> int:
         widx.save(idx, rcfg, _index_dir(args))
         info("index built", dir=_index_dir(args),
              endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
+        print(timers.report(), file=sys.stderr)
+        return 0
+
+    if args.action == "sweep":
+        # relative-error sweep vs epsilon (reference experiment protocol;
+        # BASELINE config 2): mean/max relative error over pi > delta vs
+        # the exact oracle, per epsilon, FORA+ indexed when --with-idx
+        from .algo import exact, fora as fora_algo
+        from . import index as widx
+        key = jax.random.key(args.seed)
+        sources = query_io.load_queries(str(_query_file(args)))[: args.batch]
+        pad = args.batch - len(sources)
+        src = jnp.asarray(np.concatenate(
+            [sources, np.repeat(sources[-1:], pad)]), jnp.int32)
+        exacts = [exact.exact_ppr(g, int(s), alpha=args.alpha)
+                  for s in sources]
+        for eps in [float(x) for x in args.sweep_eps.split(",")]:
+            rc = ForaConfig(alpha=args.alpha, epsilon=eps, delta=args.delta,
+                            pfail=args.pfail).resolved(g.n, g.m)
+            idx = None
+            if args.with_idx:
+                idx = widx.load(_index_dir(args), rc)
+            fn = fora_algo.make_fora_fn(dg, rc, index=idx)
+            with timers.phase(f"eps={eps}"):
+                res = fn(src, jax.random.fold_in(key, int(eps * 1e6)))
+                jax.block_until_ready(res.ppr)
+            ppr = np.asarray(res.ppr, np.float64)
+            maxres, meanres = [], []
+            for b, pi in enumerate(exacts):
+                maxres.append(metrics.max_relative_error(ppr[:, b], pi,
+                                                         rc.delta))
+                meanres.append(metrics.mean_relative_error(ppr[:, b], pi,
+                                                           rc.delta))
+            rec = log.event("sweep", epsilon=eps, delta=rc.delta,
+                            max_rel_err=float(np.max(maxres)),
+                            mean_rel_err=float(np.mean(meanres)),
+                            queries=len(sources))
+            print(json.dumps(rec), flush=True)
         print(timers.report(), file=sys.stderr)
         return 0
 
