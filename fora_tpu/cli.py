@@ -93,6 +93,14 @@ def _batched(sources: np.ndarray, batch: int):
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
