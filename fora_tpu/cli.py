@@ -225,9 +225,12 @@ def _main(argv=None) -> int:
             fn = mc_algo.make_montecarlo_fn(dg, rcfg)
             run = fn
         else:  # fwdpush
-            run = jax.jit(lambda s, k: push_ops.push_only_estimate(
-                dg, s, rmax=rcfg.rmax / max(rcfg.omega_unit, 1.0),
+            import functools
+            _pp = jax.jit(functools.partial(
+                push_ops.push_only_estimate,
+                rmax=rcfg.rmax / max(rcfg.omega_unit, 1.0),
                 alpha=rcfg.alpha, max_iters=2000))
+            run = lambda s, k: _pp(dg, s)
         for chunk, valid in _batched(sources, args.batch):
             ppr = timers.timed("query", run, jnp.asarray(chunk),
                                jax.random.fold_in(key, int(chunk[0])))

@@ -36,6 +36,7 @@ convention) rather than pool walks.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -122,11 +123,14 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     starts = np.repeat(np.arange(n, dtype=np.int32), counts)
     endpoints = np.empty(total, dtype=np.int32)
 
-    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes
+    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes.
+    # The graph is a jit ARGUMENT (closure constants embed into the HLO and
+    # overflow the remote-compile transport at scale).
     run = jax.jit(
-        lambda s, k: walk_ops.run_walks(
-            graph, s.reshape(-1, 128), k, alpha=rcfg.alpha,
+        lambda gr, s, k: walk_ops.run_walks(
+            gr, s.reshape(-1, 128), k, alpha=rcfg.alpha,
             max_hops=rcfg.max_walk_hops).reshape(-1))
+    run = functools.partial(run, graph)
     chunk = -(-chunk // 128) * 128
     n_chunks = max(1, math.ceil(total / chunk))
     for i in range(n_chunks):
