@@ -59,6 +59,7 @@ EDGEF = env_int("FORA_BENCH_EDGEF", 16)
 BATCH = env_int("FORA_BENCH_BATCH", 128)
 QUERIES = env_int("FORA_BENCH_QUERIES", 256)
 DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "4"))
+ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
 K = env_int("FORA_BENCH_K", 50)
 EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))
 EVAL_N = env_int("FORA_BENCH_EVAL", 16)
@@ -185,7 +186,7 @@ def main():
                 f"({index.total_edges} edges)")
 
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
-                                  delta_stride=DSTRIDE)
+                                  delta_stride=DSTRIDE, accept_slack=ACCEPT)
     key = jax.random.key(SEED + 2)
     src_batches = [jnp.asarray(sources[i:i + BATCH])
                    for i in range(0, QUERIES, BATCH)

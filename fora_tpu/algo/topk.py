@@ -67,9 +67,14 @@ class TopkRunner:
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
-                 index=None, delta_stride: float = 2.0):
+                 index=None, delta_stride: float = 2.0,
+                 accept_slack: float = 1.0):
+        """accept_slack > 1 tightens the stopping rule (accept only when
+        kth_ppr >= accept_slack * (1+eps) * delta): one level deeper on
+        borderline queries, better final precision at extra cost."""
         self.graph = graph
         self.k = k if k is not None else rcfg.k
+        self.accept_slack = accept_slack
         self.rcfg = rcfg
         self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
         self._fns = {}
@@ -115,7 +120,8 @@ class TopkRunner:
             res = self._fn(ckey)(sources, jax.random.fold_in(key, level),
                                  jnp.float32(rmax), jnp.float32(omega_unit))
             vals, idx = topk_ops.topk_nodes(res.ppr, k)
-            newly = jnp.logical_and(~accepted, vals[:, -1] >= (1 + eps) * d)
+            newly = jnp.logical_and(
+                ~accepted, vals[:, -1] >= self.accept_slack * (1 + eps) * d)
             take = jnp.logical_or(newly, jnp.logical_and(~accepted,
                                                          level == len(self.deltas) - 1))
             best_vals = jnp.where(take[:, None], vals, best_vals)
@@ -200,7 +206,8 @@ class TopkRunner:
                     if g >= len(pending):
                         continue
                     q = pending[g]
-                    ok = bool(vals[b, -1] >= (1 + eps) * d)
+                    ok = bool(vals[b, -1] >=
+                              self.accept_slack * (1 + eps) * d)
                     if ok or last:
                         out_ids[q] = idx[b]
                         out_vals[q] = vals[b]
