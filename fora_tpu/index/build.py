@@ -163,11 +163,13 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
     src = np.repeat(np.arange(n, dtype=np.int64), counts)
     j_within = np.arange(total, dtype=np.int64) - offsets[src]
     k_v = counts[src].astype(np.float64)
-    # bucket q: deepest q such that j < ceil(K_v * 4^-q)
-    frac = np.array([BUCKET_BASE ** (-q) for q in range(NUM_BUCKETS)])
-    cutoffs = np.ceil(k_v[:, None] * frac[None, :])        # [E, Q]
-    bucket = (j_within[:, None] < cutoffs).sum(axis=1) - 1  # deepest passing q
-    bucket = np.maximum(bucket, 0)
+    # bucket q: deepest q such that j < ceil(K_v * 4^-q); loop over the 8
+    # depths with [E]-sized temporaries (a [E, Q] cutoff matrix is ~13GB at
+    # Twitter scale)
+    bucket = np.zeros(total, dtype=np.int8)
+    for q in range(1, NUM_BUCKETS):
+        np.add(bucket, (j_within < np.ceil(k_v * BUCKET_BASE ** (-q))),
+               out=bucket, casting="unsafe")
 
     # dangling self-edges at the deepest bucket
     dang = np.nonzero(np.asarray(out_deg) == 0)[0].astype(np.int64)
