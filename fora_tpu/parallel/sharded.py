@@ -60,6 +60,7 @@ def _shard_fora_topk(
     use_index: bool, index_depth: int = 0,
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
+    ragged_cap: int = 0,
 ):
     from ..ops import ring as ring_ops
 
@@ -99,6 +100,44 @@ def _shard_fora_topk(
         p, r, it, flag = st
         return jnp.logical_and(it < rcfg.max_push_iters, flag > 0)
 
+    n_pad_g = n_loc * n_graph_shards
+
+    def ragged_frontier_exchange(contrib):
+        """SURVEY Sec. 2.3 EP-style residual routing, fixed-capacity form
+        (Sec. 7.3: "ragged_all_to_all or fixed-capacity buckets").
+
+        Once the frontier decays, most rows contribute nothing; instead of
+        all-gathering the dense [n_loc, Bq] block, compact the <= cap
+        active rows to (global id, value-row) pairs, exchange only those,
+        and scatter into the full buffer.  Comm bytes drop from
+        n_pad * Bq to G * cap * Bq.  Supersteps whose global per-shard
+        frontier exceeds cap fall back to the dense exchange; the branch
+        is chosen by a pmax so every shard takes the same collective.
+        """
+        row_active = jnp.any(contrib != 0.0, axis=1)           # [n_loc]
+        cnt = jnp.sum(row_active.astype(jnp.int32))
+        cnt_max = jax.lax.pmax(cnt, GRAPH_AXIS)
+
+        def ragged(c):
+            idx = jnp.nonzero(row_active, size=ragged_cap,
+                              fill_value=n_loc)[0]              # [cap]
+            c_pad = jnp.concatenate(
+                [c, jnp.zeros((1, c.shape[1]), c.dtype)], axis=0)
+            vals = c_pad[idx]                                   # [cap, Bq]
+            gids = jnp.where(idx < n_loc, idx + row0, n_pad_g)  # pad slot
+            all_ids = jax.lax.all_gather(gids, GRAPH_AXIS, axis=0,
+                                         tiled=True)            # [G*cap]
+            all_vals = jax.lax.all_gather(vals, GRAPH_AXIS, axis=0,
+                                          tiled=True)           # [G*cap, Bq]
+            full = jnp.zeros((n_pad_g + 1, c.shape[1]), c.dtype)
+            full = full.at[all_ids].add(all_vals,
+                                        indices_are_sorted=False,
+                                        unique_indices=False)
+            return full[:n_pad_g]
+
+        return jax.lax.cond(cnt_max <= ragged_cap, ragged,
+                            frontier_all_gather, contrib)
+
     def body(st):
         p, r, it, _ = st
         active = r > rmax * deg_f
@@ -107,7 +146,10 @@ def _shard_fora_topk(
         contrib = jnp.where(dangling, 0.0,
                             (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
         # frontier exchange: every shard needs contributions of all rows
-        contrib_full = frontier_all_gather(contrib)            # [n_pad, Bq]
+        if ragged_cap > 0:
+            contrib_full = ragged_frontier_exchange(contrib)   # [n_pad, Bq]
+        else:
+            contrib_full = frontier_all_gather(contrib)        # [n_pad, Bq]
         vals = contrib_full[in_src]                            # [m_loc, Bq]
         delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
                                     indices_are_sorted=True)[:n_loc]
@@ -179,7 +221,12 @@ class ShardedForaEngine:
                  rcfg: ResolvedConfig, *, k: Optional[int] = None,
                  index=None, num_lanes: Optional[int] = None,
                  max_lanes: int = 1 << 23, lane_slack: float = 2.0,
-                 pallas_ring: bool = False, pallas_interpret: bool = False):
+                 pallas_ring: bool = False, pallas_interpret: bool = False,
+                 ragged_exchange: bool = False,
+                 ragged_capacity_frac: float = 0.125):
+        if ragged_exchange and pallas_ring:
+            raise ValueError("ragged_exchange uses XLA all_gather; "
+                             "not combinable with pallas_ring")
         self.mesh = mesh
         self.rcfg = rcfg
         self.k = k if k is not None else rcfg.k
@@ -224,7 +271,9 @@ class ShardedForaEngine:
             num_lanes_loc=self.num_lanes_loc, k=self.k,
             use_index=self.use_index, index_depth=index_depth,
             index_bucket_offsets=bucket_offsets, pallas_ring=pallas_ring,
-            pallas_interpret=pallas_interpret, n_graph_shards=G)
+            pallas_interpret=pallas_interpret, n_graph_shards=G,
+            ragged_cap=(max(64, int(pg.n_loc * ragged_capacity_frac)
+                            // 8 * 8) if ragged_exchange else 0))
         mapped = shard_map(
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,

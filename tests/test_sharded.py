@@ -91,6 +91,41 @@ def test_sharded_matches_single_device():
     assert np.array_equal(np.asarray(r1.node_ids), np.asarray(r2.node_ids))
 
 
+def test_ragged_exchange_matches_dense():
+    """The fixed-capacity ragged frontier exchange (SURVEY Sec. 2.3 EP-style
+    routing) is a pure comm-layout change: results must match the dense
+    all_gather path exactly for the same key, including supersteps that
+    overflow capacity and fall back to dense."""
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(4, 2)
+    dense = ShardedForaEngine(g, mesh, rcfg, k=10)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    want = dense.topk(jnp.asarray(sources), jax.random.key(5))
+    for frac in (0.5, 0.02):   # ample capacity / mostly-fallback capacity
+        eng = ShardedForaEngine(g, mesh, rcfg, k=10, ragged_exchange=True,
+                                ragged_capacity_frac=frac)
+        res = eng.topk(jnp.asarray(sources), jax.random.key(5))
+        assert np.array_equal(np.asarray(res.node_ids),
+                              np.asarray(want.node_ids)), frac
+        np.testing.assert_allclose(np.asarray(res.values),
+                                   np.asarray(want.values), rtol=1e-5)
+
+
+def test_ragged_exchange_with_index():
+    g, rcfg = _graph_and_cfg()
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    mesh = make_mesh(4, 2)
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10, index=idx,
+                            ragged_exchange=True)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    res = eng.topk(jnp.asarray(sources), jax.random.key(3))
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 10)[0]
+                          for s in sources])
+    assert metrics.batch_precision_at_k(np.asarray(res.node_ids),
+                                        exact_ids) >= 0.85
+
+
 def test_sharded_with_index():
     g, rcfg = _graph_and_cfg()
     dg = to_device(g)
