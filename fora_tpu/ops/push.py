@@ -88,8 +88,41 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     return acc[:n]
 
 
+def active_edge_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
+                            dst: jnp.ndarray, n: int,
+                            row_active: jnp.ndarray, e_cap: int,
+                            max_chunk: int = 1 << 23) -> jnp.ndarray:
+    """gather_segment_sum restricted to edges whose src row is active.
+
+    The reference's frontier queue only touches edges out of active nodes
+    [R: algo.h forward_local_update_linear]; the dense masked-SpMV superstep
+    touches all m. This recovers the frontier sparsity TPU-natively: an O(m)
+    cheap pass (1-byte mask gather + compaction) selects the <= e_cap active
+    in-edges, whose positions stay dst-sorted under compaction, so the main
+    O(E_act * B) gather + sorted segment_sum runs only on live edges.
+    Supersteps whose active edge count exceeds e_cap take the dense path.
+    """
+    m = src.shape[0]
+    edge_act = row_active.astype(jnp.int8)[src] > 0           # [m]
+    cnt = jnp.sum(edge_act.astype(jnp.int32))
+
+    def compact(_):
+        sel = jnp.nonzero(edge_act, size=e_cap, fill_value=m)[0]
+        src_pad = jnp.concatenate([src, jnp.zeros((1,), src.dtype)])
+        dst_pad = jnp.concatenate([dst, jnp.full((1,), n, dst.dtype)])
+        # fill slot: src 0 (any valid row), dst n (dropped by segment_sum)
+        return gather_segment_sum(values, src_pad[sel], dst_pad[sel], n,
+                                  max_chunk=max_chunk)
+
+    def dense(_):
+        return gather_segment_sum(values, src, dst, n, max_chunk=max_chunk)
+
+    return jax.lax.cond(cnt <= e_cap, compact, dense, None)
+
+
 def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
-               state: PushState, max_chunk: int = 1 << 23) -> PushState:
+               state: PushState, max_chunk: int = 1 << 23,
+               e_cap: int = 0) -> PushState:
     n = graph.n
     deg = graph.out_deg.astype(jnp.float32)[:, None]          # [n, 1]
     dangling = deg == 0.0
@@ -100,10 +133,25 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
     contrib = jnp.where(dangling, 0.0,
                         (1.0 - alpha) * ar / jnp.maximum(deg, 1.0))
 
-    delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
-                               max_chunk=max_chunk)
+    if e_cap > 0:
+        row_active = jnp.any(contrib != 0.0, axis=1)
+        delta = active_edge_segment_sum(contrib, graph.in_src, graph.in_dst,
+                                        n, row_active, e_cap,
+                                        max_chunk=max_chunk)
+    else:
+        delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
+                                   max_chunk=max_chunk)
     r = jnp.where(active, 0.0, state.r) + delta
     return PushState(p=p, r=r, iters=state.iters + 1)
+
+
+def default_edge_cap(m: int, frac: float = 0.25,
+                     min_edges: int = 1 << 16) -> int:
+    """Compaction capacity for the frontier-sparse push path; 0 (disabled)
+    for graphs small enough that the dense superstep is already trivial."""
+    if m <= min_edges:
+        return 0
+    return max(min_edges, int(m * frac) // 8 * 8)
 
 
 def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
@@ -118,23 +166,31 @@ def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
 
 
 def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
-                      alpha: float, max_iters: int = 200) -> PushState:
+                      alpha: float, max_iters: int = 200,
+                      compact_edges: int = -1) -> PushState:
     """Continue pushing from an existing (p, r) state to a tighter rmax.
 
     The FORA invariant pi = p + sum_v r[v] pi_v holds at every superstep,
     so a finer delta level may resume from the previous level's state —
     total push work across a refinement schedule collapses to roughly the
     deepest level's (SURVEY.md Sec. 3.2 refinement loop, incrementalized).
+
+    ``compact_edges``: capacity for the frontier-compacted superstep path
+    (-1 = auto via default_edge_cap, 0 = always dense).
     """
     deg = graph.out_deg.astype(jnp.float32)[:, None]
     state0 = state0._replace(iters=jnp.zeros((), jnp.int32))  # per-call cap
+    m = graph.in_src.shape[0]
+    e_cap = default_edge_cap(m) if compact_edges < 0 else compact_edges
+    if e_cap >= m:
+        e_cap = 0   # capacity covers everything: dense is strictly cheaper
 
     def cond(s: PushState):
         return jnp.logical_and(s.iters < max_iters,
                                jnp.any(s.r > rmax * deg))
 
     def body(s: PushState):
-        return _superstep(graph, rmax, alpha, s)
+        return _superstep(graph, rmax, alpha, s, e_cap=e_cap)
 
     return jax.lax.while_loop(cond, body, state0)
 

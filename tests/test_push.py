@@ -80,3 +80,44 @@ def test_gather_segment_sum_chunked_matches():
         max_chunk=512)  # forces 8 chunks incl. a padded tail
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(one),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_compact_frontier_matches_dense():
+    """The frontier-compacted superstep path (active_edge_segment_sum) is a
+    pure execution-layout change: same fixed point, same estimates, for
+    capacities that always compact, sometimes fall back, and always fall
+    back."""
+    import jax
+    g = generators.erdos_renyi(400, 5000, seed=13)
+    dg = to_device(g)
+    srcs = jnp.array([0, 7, 123, 399])
+    want = push_ops.forward_push_from(
+        dg, push_ops.init_state(g.n, srcs), rmax=1e-4, alpha=0.2,
+        compact_edges=0)
+    for cap in (4096, 512, 8):
+        got = push_ops.forward_push_from(
+            dg, push_ops.init_state(g.n, srcs), rmax=1e-4, alpha=0.2,
+            compact_edges=cap)
+        np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                                   rtol=1e-6, atol=1e-9, err_msg=str(cap))
+        np.testing.assert_allclose(np.asarray(got.r), np.asarray(want.r),
+                                   rtol=1e-6, atol=1e-9, err_msg=str(cap))
+        assert int(got.iters) == int(want.iters), cap
+
+
+def test_compact_frontier_under_jit():
+    """Compact path traces cleanly under jit (cond + nonzero static size)."""
+    import functools
+    import jax
+    g = generators.erdos_renyi(300, 4000, seed=5)
+    dg = to_device(g)
+    srcs = jnp.array([1, 2])
+    want = push_ops.forward_push_from(
+        dg, push_ops.init_state(g.n, srcs), rmax=1e-3, alpha=0.2,
+        compact_edges=0)
+    fn = jax.jit(functools.partial(
+        push_ops.forward_push_from, rmax=1e-3, alpha=0.2,
+        compact_edges=1024))
+    got = fn(dg, push_ops.init_state(g.n, srcs))
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-6, atol=1e-9)
