@@ -21,6 +21,7 @@ env:
   FORA_BENCH_CPPQ    queries for the C++ baseline, default 8
   FORA_BENCH_CACHE   cache dir            default bench_data
   FORA_BENCH_INDEX   1 = FORA+ indexed walks (default 1)
+  FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -185,8 +186,10 @@ def main():
             log(f"index built in {time.time()-t0:.1f}s "
                 f"({index.total_edges} edges)")
 
+    gdtype = jnp.bfloat16 if env_int("FORA_BENCH_BF16", 0) else None
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
-                                  delta_stride=DSTRIDE, accept_slack=ACCEPT)
+                                  delta_stride=DSTRIDE, accept_slack=ACCEPT,
+                                  gather_dtype=gdtype)
     key = jax.random.key(SEED + 2)
     src_batches = [jnp.asarray(sources[i:i + BATCH])
                    for i in range(0, QUERIES, BATCH)

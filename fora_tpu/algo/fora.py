@@ -127,7 +127,7 @@ def make_fora_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
                  index=None):
     """Build a jitted ``(sources, key) -> ForaResult`` for one config."""
     if index is not None:
-        depth = index.depth_for(rcfg.omega_unit)
+        depth = index.depth_for(rcfg.omega_unit, rcfg.rmax)
         param = make_fora_param_fn(graph, rcfg, 0, index=index,
                                    index_depth=depth)
     else:
@@ -190,15 +190,17 @@ class StagedForaPrograms:
     compilations.
     """
 
-    def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index):
+    def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index,
+                 gather_dtype=None):
         from ..index import build as ib
         self.graph, self.rcfg, self.index = graph, rcfg, index
         self._push = jax.jit(functools.partial(
             push_ops.forward_push_from, alpha=rcfg.alpha,
-            max_iters=rcfg.max_push_iters))
+            max_iters=rcfg.max_push_iters, gather_dtype=gather_dtype))
 
         def bucket_spmv(src, dst, rw, contrib):
-            return contrib + push_ops.gather_segment_sum(rw, src, dst, rcfg.n)
+            return contrib + push_ops.gather_segment_sum(
+                rw, src, dst, rcfg.n, gather_dtype=gather_dtype)
 
         self._bucket = jax.jit(bucket_spmv)
         self._buckets = []          # [(src, dst)] per bucket q

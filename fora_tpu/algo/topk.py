@@ -20,6 +20,7 @@ accepted result).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -47,7 +48,12 @@ def delta_schedule(rcfg: ResolvedConfig, k: int, stride: float = 2.0) -> list:
     floor_delta = max(rcfg.delta, 1.0 / rcfg.n)
     deltas = []
     d = 1.0 / max(k, 2)
-    while d > floor_delta:
+    # stop early enough that the final step to floor_delta is a real jump:
+    # resumed push converges in far fewer supersteps for one stride-S step
+    # than for several small ones (measured: two ~1.6x rmax steps cost
+    # 55+88 supersteps where one 3-4x step costs ~20), so a trailing
+    # sliver level (gap < sqrt(stride)) is merged into the floor level.
+    while d > floor_delta * math.sqrt(stride):
         deltas.append(d)
         d /= stride
     deltas.append(floor_delta)
@@ -68,11 +74,15 @@ class TopkRunner:
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
                  index=None, delta_stride: float = 2.0,
-                 accept_slack: float = 1.0):
+                 accept_slack: float = 1.0, gather_dtype=None):
         """accept_slack > 1 tightens the stopping rule (accept only when
         kth_ppr >= accept_slack * (1+eps) * delta): one level deeper on
-        borderline queries, better final precision at extra cost."""
+        borderline queries, better final precision at extra cost.
+
+        gather_dtype (e.g. jnp.bfloat16) halves the bytes of the hot
+        SpMV gathers (push + index walk phase); see gather_segment_sum."""
         self.graph = graph
+        self.gather_dtype = gather_dtype
         self.k = k if k is not None else rcfg.k
         self.accept_slack = accept_slack
         self.rcfg = rcfg
@@ -88,7 +98,7 @@ class TopkRunner:
         for d in self.deltas:
             rc = rcfg.with_delta(d)
             if index is not None:
-                key = index.depth_for(rc.omega_unit)
+                key = index.depth_for(rc.omega_unit, rc.rmax)
             else:
                 from ..ops.walk import walk_lane_budget
                 need = walk_lane_budget(rc.omega_unit, rc.rmax, rc.m, rc.n,
@@ -139,7 +149,8 @@ class TopkRunner:
             if self._index is not None:
                 if self._staged is None:
                     self._staged = fora.StagedForaPrograms(
-                        self.graph, self.rcfg, self._index)
+                        self.graph, self.rcfg, self._index,
+                        gather_dtype=self.gather_dtype)
                 self._sfns[key] = self._staged.state_fn(key)
             else:
                 self._sfns[key] = fora.make_fora_state_fn(

@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve walks from the prebuilt FORA+ index")
     p.add_argument("--index-dir", default=None,
                    help="default <prefix>/index/<dataset>")
+    p.add_argument("--delta-stride", type=float, default=4.0,
+                   help="top-k refinement delta divisor per level")
+    p.add_argument("--accept-slack", type=float, default=1.0,
+                   help=">1 tightens the top-k stopping rule")
+    p.add_argument("--bf16-gather", action="store_true",
+                   help="bf16 hot-path gathers (half bandwidth, ~0.4%% "
+                        "per-contribution error)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--runlog", default=None, help="JSONL metrics path")
     p.add_argument("--eval-exact", action="store_true",
@@ -196,7 +203,11 @@ def _main(argv=None) -> int:
     if args.action == "serve":
         from .algo import topk as topk_algo
         from .serve import serve_forever
-        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+        runner = topk_algo.TopkRunner(
+            dg, rcfg, k=args.k, index=idx,
+            delta_stride=args.delta_stride,
+            accept_slack=args.accept_slack,
+            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
 
         def query_fn(sources, seed):
             res = runner.query(jnp.asarray(sources),
@@ -242,14 +253,22 @@ def _main(argv=None) -> int:
         # level-pipelined pool scheduling: accepted queries exit early,
         # stragglers re-batch at deeper delta levels
         from .algo import topk as topk_algo
-        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+        runner = topk_algo.TopkRunner(
+            dg, rcfg, k=args.k, index=idx,
+            delta_stride=args.delta_stride,
+            accept_slack=args.accept_slack,
+            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
         with timers.phase("topk"):
             res = runner.query_pool(sources, key, batch=args.batch)
         for i, s in enumerate(sources):
             results[int(s)] = (res.node_ids[i], res.values[i])
     else:  # topk
         from .algo import topk as topk_algo
-        runner = topk_algo.TopkRunner(dg, rcfg, k=args.k, index=idx)
+        runner = topk_algo.TopkRunner(
+            dg, rcfg, k=args.k, index=idx,
+            delta_stride=args.delta_stride,
+            accept_slack=args.accept_slack,
+            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
         for chunk, valid in _batched(sources, args.batch):
             res = timers.timed("topk", runner.query, jnp.asarray(chunk),
                                jax.random.fold_in(key, int(chunk[0])))

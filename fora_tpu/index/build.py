@@ -76,14 +76,29 @@ class WalkIndex(NamedTuple):
     def total_edges(self) -> int:
         return self.edge_src.shape[0]
 
-    def depth_for(self, omega_unit_query: float) -> int:
-        """Deepest (cheapest) bucket depth whose coverage fraction
-        4^-q still satisfies the query's omega_unit."""
+    def depth_for(self, omega_unit_query: float,
+                  rmax_query: Optional[float] = None) -> int:
+        """Deepest (cheapest) bucket depth whose coverage fraction 4^-q
+        still supplies the query's per-node sample demand.
+
+        The guarantee demands omega_v = r_v * omega_unit walks from node v,
+        and after push r_v <= rmax * deg_v, so demand scales with
+        rmax * omega_unit — NOT omega_unit alone.  K_v was sized for
+        rmax_built * omega_unit_built; a coarser refinement level has a
+        smaller omega_unit but a LARGER rmax (rmax ~ sqrt(delta),
+        omega ~ 1/delta), so its demand ratio is
+        sqrt(delta_built/delta_q), not delta_built/delta_q.  Pass the
+        level's rmax to get a depth whose prefix covers the worst-case
+        demand; omitting it preserves the omega-only rule (callers that
+        push to rmax_built regardless of level)."""
         ratio = omega_unit_query / self.omega_unit_built
+        if rmax_query is not None:
+            ratio *= rmax_query / self.rmax_built
         if ratio > 1.0 + 1e-9:
             raise ValueError(
-                f"index too coarse: built omega_unit={self.omega_unit_built:.3g}"
-                f" < query {omega_unit_query:.3g}")
+                f"index too coarse: built rmax*omega_unit covers "
+                f"{self.rmax_built * self.omega_unit_built:.3g} < query "
+                f"demand ratio {ratio:.3g}x")
         q = int(-math.log(max(ratio, 1e-300)) // math.log(BUCKET_BASE))
         return min(max(q, 0), NUM_BUCKETS - 1)
 

@@ -49,7 +49,8 @@ def init_state(n: int, sources: jnp.ndarray) -> PushState:
 
 def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
                        dst: jnp.ndarray, n: int,
-                       max_chunk: int = 1 << 23) -> jnp.ndarray:
+                       max_chunk: int = 1 << 23,
+                       gather_dtype=None) -> jnp.ndarray:
     """out[t] += sum over edges e with dst[e]==t of values[src[e]].
 
     The [E, B] gathered intermediate is materialized by XLA; for large
@@ -58,11 +59,20 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     (A Pallas DMA-pipelined gather was measured at 15 GB/s vs XLA's
     37 GB/s effective for random 512-byte rows on v5e — per-row descriptor
     overhead loses; XLA's gather is the practical ceiling here.)
+
+    ``gather_dtype`` (e.g. jnp.bfloat16): cast values to this dtype BEFORE
+    the gather, halving the bytes moved through the random-access gather —
+    the hot-path bandwidth budget — and accumulate the segment sum in the
+    original dtype.  Opt-in: ~0.4% relative error per contribution.
     """
     E = src.shape[0]
     B = values.shape[1]
+    out_dtype = values.dtype
+    if gather_dtype is not None:
+        values = values.astype(gather_dtype)
     if E <= max_chunk:
-        return jax.ops.segment_sum(values[src], dst, num_segments=n,
+        return jax.ops.segment_sum(values[src].astype(out_dtype), dst,
+                                   num_segments=n,
                                    indices_are_sorted=True)
     n_chunks = -(-E // max_chunk)
     pad = n_chunks * max_chunk - E
@@ -78,12 +88,12 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
 
     def body(acc, chunk):
         s, d = chunk
-        acc = acc + jax.ops.segment_sum(values_pad[s], d,
+        acc = acc + jax.ops.segment_sum(values_pad[s].astype(out_dtype), d,
                                         num_segments=n + 1,
                                         indices_are_sorted=True)
         return acc, None
 
-    acc0 = jnp.zeros((n + 1, B), values.dtype)
+    acc0 = jnp.zeros((n + 1, B), out_dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p))
     return acc[:n]
 
@@ -122,7 +132,7 @@ def active_edge_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
 
 def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
                state: PushState, max_chunk: int = 1 << 23,
-               e_cap: int = 0) -> PushState:
+               e_cap: int = 0, gather_dtype=None) -> PushState:
     n = graph.n
     deg = graph.out_deg.astype(jnp.float32)[:, None]          # [n, 1]
     dangling = deg == 0.0
@@ -140,7 +150,8 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
                                         max_chunk=max_chunk)
     else:
         delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
-                                   max_chunk=max_chunk)
+                                   max_chunk=max_chunk,
+                                   gather_dtype=gather_dtype)
     r = jnp.where(active, 0.0, state.r) + delta
     return PushState(p=p, r=r, iters=state.iters + 1)
 
@@ -167,7 +178,8 @@ def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
 
 def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
                       alpha: float, max_iters: int = 200,
-                      compact_edges: int = -1) -> PushState:
+                      compact_edges: int = 0,
+                      gather_dtype=None) -> PushState:
     """Continue pushing from an existing (p, r) state to a tighter rmax.
 
     The FORA invariant pi = p + sum_v r[v] pi_v holds at every superstep,
@@ -176,7 +188,12 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
     deepest level's (SURVEY.md Sec. 3.2 refinement loop, incrementalized).
 
     ``compact_edges``: capacity for the frontier-compacted superstep path
-    (-1 = auto via default_edge_cap, 0 = always dense).
+    (0 = always dense, the default; -1 = auto via default_edge_cap).
+    Measured on v5e (RMAT 524K/8.4M, B=128): the compact superstep LOSES
+    (191ms vs 123ms dense) — the [m] per-edge activity mask is a
+    per-element random gather (~40M elem/s, no batch amortization), which
+    costs more than the dense path saves at realistic frontier sizes.
+    Kept as an opt-in for very sparse frontiers (B=1 tails, huge graphs).
     """
     deg = graph.out_deg.astype(jnp.float32)[:, None]
     state0 = state0._replace(iters=jnp.zeros((), jnp.int32))  # per-call cap
@@ -190,7 +207,8 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
                                jnp.any(s.r > rmax * deg))
 
     def body(s: PushState):
-        return _superstep(graph, rmax, alpha, s, e_cap=e_cap)
+        return _superstep(graph, rmax, alpha, s, e_cap=e_cap,
+                          gather_dtype=gather_dtype)
 
     return jax.lax.while_loop(cond, body, state0)
 

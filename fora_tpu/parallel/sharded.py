@@ -256,7 +256,7 @@ class ShardedForaEngine:
         bucket_offsets = None
         if self.use_index:
             pi = part.partition_index(index, G, pg.n_loc)
-            index_depth = index.depth_for(rcfg.omega_unit)
+            index_depth = index.depth_for(rcfg.omega_unit, rcfg.rmax)
             bucket_offsets = pi.bucket_local_offsets
             self._args += [put(pi.edge_src_local, gspec),
                            put(pi.edge_dst, gspec),

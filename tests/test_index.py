@@ -70,6 +70,23 @@ def test_depth_for():
         idx.depth_for(rcfg.omega_unit * 2)
 
 
+def test_depth_for_rmax_aware():
+    """Coarse refinement levels have smaller omega but LARGER rmax, so the
+    per-node demand ratio is rmax*omega — the rmax-aware rule must pick a
+    shallower depth than the omega-only rule (guarantee coverage)."""
+    g, dg, rcfg = _setup()
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    coarse = rcfg.with_delta(rcfg.delta * 256)   # omega /256, rmax *16
+    q_omega = idx.depth_for(coarse.omega_unit)
+    q_joint = idx.depth_for(coarse.omega_unit, coarse.rmax)
+    assert q_omega == 4 and q_joint == 2
+    # at the built config the two rules agree
+    assert idx.depth_for(rcfg.omega_unit, rcfg.rmax) == 0
+    # demand beyond the built rmax is rejected even at equal omega
+    with pytest.raises(ValueError, match="too coarse"):
+        idx.depth_for(rcfg.omega_unit, rcfg.rmax * 2)
+
+
 def test_indexed_contrib_statistics():
     """SpMV walk contribution from residue e_v estimates pi_v."""
     g, dg, rcfg = _setup(eps=0.5)

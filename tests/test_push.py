@@ -121,3 +121,21 @@ def test_compact_frontier_under_jit():
     got = fn(dg, push_ops.init_state(g.n, srcs))
     np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_bf16_gather_close_to_f32():
+    """bf16 gather_dtype trades <=0.5% relative error for half the gather
+    bytes; push results must stay within that envelope."""
+    g = generators.erdos_renyi(400, 5000, seed=13)
+    dg = to_device(g)
+    srcs = jnp.array([0, 7, 123, 399])
+    want = push_ops.forward_push_from(
+        dg, push_ops.init_state(g.n, srcs), rmax=1e-4, alpha=0.2)
+    got = push_ops.forward_push_from(
+        dg, push_ops.init_state(g.n, srcs), rmax=1e-4, alpha=0.2,
+        gather_dtype=jnp.bfloat16)
+    p_w, p_g = np.asarray(want.p, np.float64), np.asarray(got.p, np.float64)
+    # settled mass agrees to bf16 granularity, and total mass is conserved
+    np.testing.assert_allclose(p_g.sum(0) + np.asarray(got.r).sum(0),
+                               1.0, rtol=2e-2)
+    assert np.abs(p_g - p_w).max() < 2e-2 * p_w.max()
