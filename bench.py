@@ -13,8 +13,8 @@ The benchmark graph is RMAT (power-law, LiveJournal-like skew); scale via
 env:
   FORA_BENCH_NLOG2   log2(nodes)          default 19   (524K nodes)
   FORA_BENCH_EDGEF   edges per node       default 16
-  FORA_BENCH_BATCH   sources per batch    default 32
-  FORA_BENCH_QUERIES total queries        default 128
+  FORA_BENCH_BATCH   sources per batch    default 256
+  FORA_BENCH_QUERIES total queries        default 512
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
   FORA_BENCH_EVAL    queries scored vs exact oracle, default 16
@@ -57,9 +57,9 @@ def enable_compile_cache():
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
-BATCH = env_int("FORA_BENCH_BATCH", 128)
-QUERIES = env_int("FORA_BENCH_QUERIES", 256)
-DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "4"))
+BATCH = env_int("FORA_BENCH_BATCH", 256)
+QUERIES = env_int("FORA_BENCH_QUERIES", 512)
+DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "8"))
 ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
 K = env_int("FORA_BENCH_K", 50)
 EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))

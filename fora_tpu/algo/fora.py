@@ -63,7 +63,7 @@ def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
         from ..index.build import index_slices
         buckets, counts_col = index_slices(index, index_depth)
         return _fora_indexed_impl(graph, buckets, counts_col, sources, rmax,
-                                  alpha=rcfg.alpha,
+                                  omega_unit, alpha=rcfg.alpha,
                                   max_push_iters=rcfg.max_push_iters)
     return _fora_walk_impl(graph, sources, key, rmax, omega_unit,
                            alpha=rcfg.alpha,
@@ -72,23 +72,29 @@ def fora_query(graph: DeviceGraph, sources: jnp.ndarray, key: jax.Array, *,
                            num_lanes=num_lanes)
 
 
-def _fora_indexed_impl(graph, buckets, counts_col, sources, rmax, *,
-                       alpha, max_push_iters):
+def _fora_indexed_impl(graph, buckets, counts_col, sources, rmax,
+                       omega_unit=None, *, alpha, max_push_iters):
     st0 = push_ops.init_state(graph.n, sources)
     res, _, _ = _fora_indexed_state_impl(graph, buckets, counts_col,
-                                         st0.p, st0.r, rmax, alpha=alpha,
+                                         st0.p, st0.r, rmax, omega_unit,
+                                         alpha=alpha,
                                          max_push_iters=max_push_iters)
     return res
 
 
-def _fora_indexed_state_impl(graph, buckets, counts_col, p0, r0, rmax, *,
-                             alpha, max_push_iters):
+def _fora_indexed_state_impl(graph, buckets, counts_col, p0, r0, rmax,
+                             omega_unit=None, *, alpha, max_push_iters):
     """Indexed FORA resuming push from (p0, r0); also returns the new state
-    so the next (finer) delta level continues instead of re-pushing."""
+    so the next (finer) delta level continues instead of re-pushing.
+
+    With ``omega_unit``, push stops at the per-node coverage threshold
+    count_v/omega_unit (see forward_push_from thr docstring)."""
     from ..index.build import indexed_walk_contrib_from_slices
+    thr = (counts_col.astype(jnp.float32) / omega_unit
+           if omega_unit is not None else None)
     st = push_ops.forward_push_from(
         graph, push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32)),
-        rmax=rmax, alpha=alpha, max_iters=max_push_iters)
+        rmax=rmax, alpha=alpha, max_iters=max_push_iters, thr=thr)
     contrib = indexed_walk_contrib_from_slices(buckets, counts_col, st.r)
     zero = jnp.zeros(st.r.shape[1], jnp.int32)
     res = ForaResult(ppr=st.p + contrib, push_iters=st.iters,
@@ -162,8 +168,9 @@ def make_fora_param_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
             max_push_iters=rcfg.max_push_iters))
 
         def fn(sources, key, rmax, omega_unit):
-            del key, omega_unit  # indexed mode is deterministic
-            return impl(graph, buckets, counts_col, sources, rmax)
+            del key  # indexed mode is deterministic
+            return impl(graph, buckets, counts_col, sources, rmax,
+                        jnp.float32(omega_unit))
 
         return fn
 
@@ -229,12 +236,19 @@ class StagedForaPrograms:
         from ..index import build as ib
 
         def fn(p0, r0, key, rmax, omega_unit):
-            del key, omega_unit
+            del key
+            # per-node coverage threshold: the guarantee needs the per-walk
+            # weight bound r_v/omega_v <= 1/omega_unit, and the index
+            # supplies exactly counts_col samples at this depth — so push
+            # may stop at r_v <= count_v/omega_unit, never tighter than
+            # rmax*deg_v and much looser on low-degree tail rows.
+            counts_col = self.index.counts_cum[:, index_depth]
+            thr = counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
             st = self._push(
                 self.graph,
                 push_ops.PushState(p=p0, r=r0,
                                    iters=jnp.zeros((), jnp.int32)),
-                rmax=jnp.float32(rmax))
+                rmax=jnp.float32(rmax), thr=thr)
             rw, contrib = self._weight(
                 st.r, self.index.counts_cum[:, index_depth])
             for q in range(index_depth, ib.NUM_BUCKETS):
@@ -264,8 +278,9 @@ def make_fora_state_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
             max_push_iters=rcfg.max_push_iters))
 
         def fn(p0, r0, key, rmax, omega_unit):
-            del key, omega_unit
-            return impl(graph, buckets, counts_col, p0, r0, rmax)
+            del key
+            return impl(graph, buckets, counts_col, p0, r0, rmax,
+                        jnp.float32(omega_unit))
 
         return fn
 

@@ -204,6 +204,10 @@ class TopkRunner:
             last = level == len(self.deltas) - 1
             keep_cols = []
             new_p, new_r = [], []
+            # dispatch every batch of the level before the first host sync:
+            # jax dispatch is async, so batch i+1's push overlaps batch i's
+            # walk/top-k and the host-side acceptance bookkeeping
+            inflight = []
             for lo in range(0, p_state.shape[1], batch):
                 pc = p_state[:, lo: lo + batch]
                 rc = r_state[:, lo: lo + batch]
@@ -211,6 +215,8 @@ class TopkRunner:
                                  jax.random.fold_in(key, level * 10007 + lo),
                                  jnp.float32(rmax), jnp.float32(omega_unit))
                 vals, idx = topk_ops.topk_nodes(res.ppr, k)
+                inflight.append((lo, pc, rc, vals, idx))
+            for lo, pc, rc, vals, idx in inflight:
                 vals, idx = np.asarray(vals), np.asarray(idx)
                 for b in range(batch):
                     g = lo + b

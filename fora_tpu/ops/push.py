@@ -132,11 +132,14 @@ def active_edge_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
 
 def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
                state: PushState, max_chunk: int = 1 << 23,
-               e_cap: int = 0, gather_dtype=None) -> PushState:
+               e_cap: int = 0, gather_dtype=None,
+               thr=None) -> PushState:
     n = graph.n
     deg = graph.out_deg.astype(jnp.float32)[:, None]          # [n, 1]
     dangling = deg == 0.0
-    active = state.r > rmax * deg                             # [n, B]
+    if thr is None:
+        thr = rmax * deg
+    active = state.r > thr                                    # [n, B]
     ar = jnp.where(active, state.r, 0.0)
     # dangling absorbs its full residue (self-loop geometric series)
     p = state.p + jnp.where(dangling, ar, alpha * ar)
@@ -179,13 +182,23 @@ def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
 def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
                       alpha: float, max_iters: int = 200,
                       compact_edges: int = 0,
-                      gather_dtype=None) -> PushState:
+                      gather_dtype=None, thr=None) -> PushState:
     """Continue pushing from an existing (p, r) state to a tighter rmax.
 
     The FORA invariant pi = p + sum_v r[v] pi_v holds at every superstep,
     so a finer delta level may resume from the previous level's state —
     total push work across a refinement schedule collapses to roughly the
     deepest level's (SURVEY.md Sec. 3.2 refinement loop, incrementalized).
+
+    ``thr`` ([n] or [n, 1] f32, optional): per-node termination threshold
+    overriding ``rmax * out_deg``.  The guarantee only needs the per-walk
+    weight bound r_v / omega_v <= 1/omega_unit; with the FORA+ index the
+    available sample count per node is known exactly (counts at the query
+    depth), so push may stop at r_v <= count_v/omega_unit — never tighter
+    than rmax*deg_v (counts are sized as ceil(rmax*deg*omega)+1), and much
+    looser for low-degree rows, which dominate the superstep tail.
+    Sub-threshold residue on dangling rows is served exactly by the
+    index's self-edge (absorbing convention).
 
     ``compact_edges``: capacity for the frontier-compacted superstep path
     (0 = always dense, the default; -1 = auto via default_edge_cap).
@@ -201,14 +214,17 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
     e_cap = default_edge_cap(m) if compact_edges < 0 else compact_edges
     if e_cap >= m:
         e_cap = 0   # capacity covers everything: dense is strictly cheaper
+    if thr is not None and thr.ndim == 1:
+        thr = thr[:, None]
+    thr_eff = rmax * deg if thr is None else thr
 
     def cond(s: PushState):
         return jnp.logical_and(s.iters < max_iters,
-                               jnp.any(s.r > rmax * deg))
+                               jnp.any(s.r > thr_eff))
 
     def body(s: PushState):
         return _superstep(graph, rmax, alpha, s, e_cap=e_cap,
-                          gather_dtype=gather_dtype)
+                          gather_dtype=gather_dtype, thr=thr)
 
     return jax.lax.while_loop(cond, body, state0)
 

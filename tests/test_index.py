@@ -171,9 +171,10 @@ def test_staged_query_pool_matches_fused():
     from fora_tpu.ops import push as push_ops
     import jax.numpy as jnp
     st0 = push_ops.init_state(g.n, jnp.asarray(sources[:8], jnp.int32))
-    res_f, _, _ = fused_fn(st0.p, st0.r, None,
-                           np.float32(rcfg.rmax), None)
+    res_f, _, _ = fused_fn(st0.p, st0.r, None, np.float32(rcfg.rmax),
+                           np.float32(rcfg.omega_unit))
     staged = fora.StagedForaPrograms(dg, rcfg, idx).state_fn(0)
-    res_s, _, _ = staged(st0.p, st0.r, None, np.float32(rcfg.rmax), None)
+    res_s, _, _ = staged(st0.p, st0.r, None, np.float32(rcfg.rmax),
+                         np.float32(rcfg.omega_unit))
     np.testing.assert_allclose(np.asarray(res_f.ppr), np.asarray(res_s.ppr),
                                rtol=1e-6, atol=1e-8)
