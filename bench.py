@@ -22,6 +22,8 @@ env:
   FORA_BENCH_CACHE   cache dir            default bench_data
   FORA_BENCH_INDEX   1 = FORA+ indexed walks (default 1)
   FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
+  FORA_BENCH_RMAXS   rmax_scale: push/walk balance; >1 = less push,
+                     bigger index (default 1)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -67,6 +69,7 @@ EVAL_N = env_int("FORA_BENCH_EVAL", 16)
 CPPQ = env_int("FORA_BENCH_CPPQ", 8)
 CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
 USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
+RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
 SEED = 7
 
 TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
@@ -98,9 +101,12 @@ def get_sources(g):
 
 
 def get_exact(g, sources):
-    """Exact top-K ids for the first EVAL_N sources (cached)."""
+    """Exact top-K ids for the first EVAL_N sources (cached, keyed by the
+    actual eval sources — QUERIES changes which sources land in the eval
+    prefix)."""
     from fora_tpu.algo import exact
-    f = CACHE / f"{TAG}.exact{EVAL_N}.npz"
+    h = hashlib.sha1(np.asarray(sources[:EVAL_N]).tobytes()).hexdigest()[:10]
+    f = CACHE / f"{TAG}.exact{EVAL_N}.{h}.k{K}.npz"
     if f.exists():
         return np.load(f)["ids"]
     log(f"computing exact PPR for {EVAL_N} sources (power iteration)...")
@@ -123,8 +129,10 @@ def export_graph_bin(g):
 
 
 def run_cpp_baseline(g, sources):
-    """Returns (qps, topk_ids or None). Cached per (TAG, EPS, K, CPPQ)."""
-    cache = CACHE / f"{TAG}.cpp.e{EPS}.k{K}.q{CPPQ}.json"
+    """Returns (qps, topk_ids or None). Cached per (TAG, EPS, K, actual
+    query sources)."""
+    h = hashlib.sha1(np.asarray(sources[:CPPQ]).tobytes()).hexdigest()[:10]
+    cache = CACHE / f"{TAG}.cpp.e{EPS}.k{K}.q{CPPQ}.{h}.json"
     if cache.exists():
         d = json.loads(cache.read_text())
         return d["qps"], np.array(d["ids"]) if d.get("ids") else None
@@ -169,13 +177,14 @@ def main():
     sources = get_sources(g)
     log(f"graph n={g.n} m={g.m}; device={jax.devices()[0].device_kind}")
 
-    cfg = ForaConfig(epsilon=EPS, k=K)
+    cfg = ForaConfig(epsilon=EPS, k=K, rmax_scale=RMAXS)
     rcfg = cfg.resolved(g.n, g.m)
     dg = to_device(g)
 
     index = None
     if USE_INDEX:
-        idx_dir = CACHE / f"{TAG}.idx.e{EPS}"
+        idx_dir = CACHE / (f"{TAG}.idx.e{EPS}" +
+                           (f".rs{RMAXS:g}" if RMAXS != 1 else ""))
         if (idx_dir / "meta.json").exists():
             index = widx.load(str(idx_dir), rcfg)
         else:
@@ -195,11 +204,15 @@ def main():
                    for i in range(0, QUERIES, BATCH)
                    if i + BATCH <= QUERIES]
 
-    # warmup: compile all delta levels of the pool path once
+    # warmup: compile all delta levels of the pool path once, at the FULL
+    # pool width — the pool-state ops (init scatter, re-take, concat) are
+    # shaped by the total query count, so a smaller warmup pool leaves
+    # one-time compiles inside the timed run
     log("warmup/compile ...")
     t0 = time.time()
-    warm = runner.query_pool(np.asarray(src_batches[0]),
-                             jax.random.fold_in(key, 999), batch=BATCH)
+    warm = runner.query_pool(np.concatenate(
+        [np.asarray(sb) for sb in src_batches]),
+        jax.random.fold_in(key, 999), batch=BATCH)
     log(f"warmup done in {time.time()-t0:.1f}s "
         f"(levels: {warm.levels_used})")
 
@@ -211,6 +224,9 @@ def main():
     elapsed = time.time() - t0
     results = {int(s): res.node_ids[i] for i, s in enumerate(pool)}
     qps = n_q / elapsed
+    for st in getattr(runner, "last_level_stats", []):
+        log(f"  level {st['level']}: pending={st['pending']} "
+            f"batches={st['batches']} {st['secs']}s")
     log(f"levels used (max): {res.levels_used}; "
         f"accepted: {int(res.accepted.sum())}/{n_q}")
     log(f"ours: {n_q} queries in {elapsed:.2f}s -> {qps:.1f} q/s")

@@ -174,9 +174,11 @@ class TopkRunner:
         """
         import math
 
+        import time as _time
         sources = np.asarray(sources)
         n = self.rcfg.n
         n_q = len(sources)
+        self.last_level_stats = []   # [{level, delta, batches, pending, secs}]
         k, eps = self.k, self.rcfg.epsilon
         out_ids = np.zeros((n_q, k), np.int32)
         out_vals = np.zeros((n_q, k), np.float32)
@@ -199,6 +201,8 @@ class TopkRunner:
             if len(pending) == 0:
                 break
             max_level = level + 1
+            _t0 = _time.time()
+            _n_pending = len(pending)
             ckey, rmax, omega_unit = self._levels[level]
             fn = self._state_fn(ckey)
             last = level == len(self.deltas) - 1
@@ -233,6 +237,10 @@ class TopkRunner:
                         keep_cols.append(g)
                 new_p.append(pc)
                 new_r.append(rc)
+            self.last_level_stats.append(dict(
+                level=level, delta=d,
+                batches=-(-p_state.shape[1] // batch),
+                pending=_n_pending, secs=round(_time.time() - _t0, 3)))
             if not keep_cols:
                 pending = pending[:0]
                 break

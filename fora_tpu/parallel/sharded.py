@@ -83,6 +83,15 @@ def _shard_fora_topk(
     deg_f = deg_loc.astype(jnp.float32)[:, None]              # [n_loc, 1]
     dangling = deg_f == 0.0
     rmax, alpha = rcfg.rmax, rcfg.alpha
+    if use_index:
+        # per-node coverage threshold (see ops/push.py forward_push_from):
+        # the index supplies counts_cum[:, depth] samples per owned row, so
+        # push may stop at r_v <= count_v/omega_unit — never tighter than
+        # rmax*deg_v, looser on the low-degree tail.
+        thr = (idx_counts_cum[:, index_depth].astype(jnp.float32)
+               / jnp.float32(rcfg.omega_unit))[:, None]
+    else:
+        thr = rmax * deg_f
 
     # --- init: one-hot residue on the owning shard ---
     local = sources - row0
@@ -93,7 +102,7 @@ def _shard_fora_topk(
     p0 = jnp.zeros((n_loc, Bq), jnp.float32)
 
     def frontier_count(r):
-        return jax.lax.psum(jnp.sum((r > rmax * deg_f).astype(jnp.int32)),
+        return jax.lax.psum(jnp.sum((r > thr).astype(jnp.int32)),
                             GRAPH_AXIS)
 
     def cond(st):
@@ -140,7 +149,7 @@ def _shard_fora_topk(
 
     def body(st):
         p, r, it, _ = st
-        active = r > rmax * deg_f
+        active = r > thr
         ar = jnp.where(active, r, 0.0)
         p = p + jnp.where(dangling, ar, alpha * ar)
         contrib = jnp.where(dangling, 0.0,
