@@ -14,7 +14,8 @@ Actions:
   generate-ss-query  sample a query source set to <dataset>.query
   gen-exact-topk     ground-truth exact PPR top-k per query source
 
-Algorithms (--algo): fora (default), montecarlo, fwdpush.
+Algorithms (--algo): fora (default), montecarlo, fwdpush, hubppr
+(hub-indexed Monte Carlo; --num-hubs controls the index).
 """
 
 from __future__ import annotations
@@ -48,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", default="data", help="dataset root dir")
     p.add_argument("--dataset", required=True)
     p.add_argument("--algo", default="fora",
-                   choices=["fora", "montecarlo", "fwdpush"])
+                   choices=["fora", "montecarlo", "fwdpush", "hubppr"])
+    p.add_argument("--num-hubs", type=int, default=256,
+                   help="hubppr: hub count for the forward hub index")
     p.add_argument("--epsilon", type=float, default=0.5)
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--delta", type=float, default=None, help="default 1/n")
@@ -234,6 +237,14 @@ def _main(argv=None) -> int:
             run = lambda s, k: fn(s, k).ppr
         elif args.algo == "montecarlo":
             fn = mc_algo.make_montecarlo_fn(dg, rcfg)
+            run = fn
+        elif args.algo == "hubppr":
+            from .algo import hubppr as hub_algo
+            with timers.phase("hub-build"):
+                fn = hub_algo.make_hubppr_fn(dg, rcfg, key,
+                                             num_hubs=args.num_hubs)
+            info("hub index built", hubs=fn.hub_index.num_hubs,
+                 pool=fn.hub_index.pool_size)
             run = fn
         else:  # fwdpush
             import functools
