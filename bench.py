@@ -13,7 +13,8 @@ The benchmark graph is RMAT (power-law, LiveJournal-like skew); scale via
 env:
   FORA_BENCH_NLOG2   log2(nodes)          default 19   (524K nodes)
   FORA_BENCH_EDGEF   edges per node       default 16
-  FORA_BENCH_BATCH   sources per batch    default 256
+  FORA_BENCH_BATCH   max sources per batch, default 512 (straggler levels
+                     re-batch narrower automatically, floor 128)
   FORA_BENCH_QUERIES total queries        default 512
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
@@ -24,6 +25,8 @@ env:
   FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
   FORA_BENCH_RMAXS   rmax_scale: push/walk balance; >1 = less push,
                      bigger index (default 1)
+  FORA_BENCH_CHUNK   log2 edges per gather chunk (peak mem is the
+                     [chunk, B] intermediate; default 21 — sized for B=512)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -59,7 +62,7 @@ def enable_compile_cache():
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
-BATCH = env_int("FORA_BENCH_BATCH", 256)
+BATCH = env_int("FORA_BENCH_BATCH", 512)
 QUERIES = env_int("FORA_BENCH_QUERIES", 512)
 DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "8"))
 ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
@@ -70,6 +73,7 @@ CPPQ = env_int("FORA_BENCH_CPPQ", 8)
 CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
 USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
+CHUNK = 1 << env_int("FORA_BENCH_CHUNK", 21)
 SEED = 7
 
 TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
@@ -198,7 +202,7 @@ def main():
     gdtype = jnp.bfloat16 if env_int("FORA_BENCH_BF16", 0) else None
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
                                   delta_stride=DSTRIDE, accept_slack=ACCEPT,
-                                  gather_dtype=gdtype)
+                                  gather_dtype=gdtype, gather_chunk=CHUNK)
     key = jax.random.key(SEED + 2)
     src_batches = [jnp.asarray(sources[i:i + BATCH])
                    for i in range(0, QUERIES, BATCH)

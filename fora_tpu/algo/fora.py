@@ -198,16 +198,18 @@ class StagedForaPrograms:
     """
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index,
-                 gather_dtype=None):
+                 gather_dtype=None, gather_chunk: int = 1 << 23):
         from ..index import build as ib
         self.graph, self.rcfg, self.index = graph, rcfg, index
         self._push = jax.jit(functools.partial(
             push_ops.forward_push_from, alpha=rcfg.alpha,
-            max_iters=rcfg.max_push_iters, gather_dtype=gather_dtype))
+            max_iters=rcfg.max_push_iters, max_chunk=gather_chunk,
+            gather_dtype=gather_dtype))
 
         def bucket_spmv(src, dst, rw, contrib):
             return contrib + push_ops.gather_segment_sum(
-                rw, src, dst, rcfg.n, gather_dtype=gather_dtype)
+                rw, src, dst, rcfg.n, max_chunk=gather_chunk,
+                gather_dtype=gather_dtype)
 
         self._bucket = jax.jit(bucket_spmv)
         self._buckets = []          # [(src, dst)] per bucket q

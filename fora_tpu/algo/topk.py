@@ -74,15 +74,20 @@ class TopkRunner:
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
                  index=None, delta_stride: float = 2.0,
-                 accept_slack: float = 1.0, gather_dtype=None):
+                 accept_slack: float = 1.0, gather_dtype=None,
+                 gather_chunk: int = 1 << 23):
         """accept_slack > 1 tightens the stopping rule (accept only when
         kth_ppr >= accept_slack * (1+eps) * delta): one level deeper on
         borderline queries, better final precision at extra cost.
 
         gather_dtype (e.g. jnp.bfloat16) halves the bytes of the hot
-        SpMV gathers (push + index walk phase); see gather_segment_sum."""
+        SpMV gathers (push + index walk phase); see gather_segment_sum.
+
+        gather_chunk caps the [chunk, B] gathered intermediate — lower it
+        to run wider query batches in fixed HBM (see forward_push_from)."""
         self.graph = graph
         self.gather_dtype = gather_dtype
+        self.gather_chunk = gather_chunk
         self.k = k if k is not None else rcfg.k
         self.accept_slack = accept_slack
         self.rcfg = rcfg
@@ -150,7 +155,8 @@ class TopkRunner:
                 if self._staged is None:
                     self._staged = fora.StagedForaPrograms(
                         self.graph, self.rcfg, self._index,
-                        gather_dtype=self.gather_dtype)
+                        gather_dtype=self.gather_dtype,
+                        gather_chunk=self.gather_chunk)
                 self._sfns[key] = self._staged.state_fn(key)
             else:
                 self._sfns[key] = fora.make_fora_state_fn(
@@ -167,10 +173,15 @@ class TopkRunner:
         expensive levels, and every level re-pushes from scratch.  Here
 
           * accepted queries exit at their level; only stragglers re-batch
-            deeper (amortized cost sum_l P(reach l) * cost_l), and
+            deeper (amortized cost sum_l P(reach l) * cost_l),
           * each level RESUMES push from the previous level's (p, r) state
             (forward_push_from), so total push work across the schedule
-            collapses to about the deepest level reached.
+            collapses to about the deepest level reached, and
+          * the batch WIDTH adapts per level: full ``batch`` while the
+            pool is large, halving (down to 128 — below that the shared
+            row-gather stops amortizing) once stragglers thin out, so the
+            deep-level tail doesn't pay for padding lanes.  Each distinct
+            width is one extra set of compiled shapes (cached).
         """
         import math
 
@@ -186,12 +197,15 @@ class TopkRunner:
         accepted = np.zeros(n_q, bool)
         pending = np.arange(n_q)
 
-        # pool state columns aligned with `pending` (padded to batch)
-        def padded(cols):
-            pad = (-len(cols)) % batch
-            return np.concatenate([cols, np.zeros(pad, np.int64)]), pad
+        def pick_width(n_pending: int) -> int:
+            w = batch
+            while w // 2 >= max(n_pending, 1) and w // 2 >= 128:
+                w //= 2
+            return w
 
-        cols, _ = padded(pending)
+        width = pick_width(n_q)
+        pad0 = (-n_q) % width
+        cols = np.concatenate([pending, np.zeros(pad0, np.int64)])
         src_pad = jnp.asarray(sources[cols], jnp.int32)
         p_state = jnp.zeros((n, len(cols)), jnp.float32)
         r_state = jnp.zeros((n, len(cols)), jnp.float32).at[
@@ -212,9 +226,9 @@ class TopkRunner:
             # jax dispatch is async, so batch i+1's push overlaps batch i's
             # walk/top-k and the host-side acceptance bookkeeping
             inflight = []
-            for lo in range(0, p_state.shape[1], batch):
-                pc = p_state[:, lo: lo + batch]
-                rc = r_state[:, lo: lo + batch]
+            for lo in range(0, p_state.shape[1], width):
+                pc = p_state[:, lo: lo + width]
+                rc = r_state[:, lo: lo + width]
                 res, pc, rc = fn(pc, rc,
                                  jax.random.fold_in(key, level * 10007 + lo),
                                  jnp.float32(rmax), jnp.float32(omega_unit))
@@ -222,7 +236,7 @@ class TopkRunner:
                 inflight.append((lo, pc, rc, vals, idx))
             for lo, pc, rc, vals, idx in inflight:
                 vals, idx = np.asarray(vals), np.asarray(idx)
-                for b in range(batch):
+                for b in range(width):
                     g = lo + b
                     if g >= len(pending):
                         continue
@@ -238,19 +252,20 @@ class TopkRunner:
                 new_p.append(pc)
                 new_r.append(rc)
             self.last_level_stats.append(dict(
-                level=level, delta=d,
-                batches=-(-p_state.shape[1] // batch),
+                level=level, delta=d, width=width,
+                batches=-(-p_state.shape[1] // width),
                 pending=_n_pending, secs=round(_time.time() - _t0, 3)))
             if not keep_cols:
                 pending = pending[:0]
                 break
             keep = np.asarray(keep_cols)
             pending = pending[keep]
+            width = pick_width(len(keep))
             p_all = jnp.concatenate(new_p, axis=1)
             r_all = jnp.concatenate(new_r, axis=1)
             take = jnp.asarray(
                 np.concatenate([keep,
-                                np.repeat(keep[-1:], (-len(keep)) % batch)]))
+                                np.repeat(keep[-1:], (-len(keep)) % width)]))
             p_state = jnp.take(p_all, take, axis=1)
             r_state = jnp.take(r_all, take, axis=1)
 

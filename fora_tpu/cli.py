@@ -149,11 +149,26 @@ def _main(argv=None) -> int:
     dg = to_device(g)
 
     if args.action == "build":
+        import shutil
         from . import index as widx
         key = jax.random.key(args.seed)
+        # chunk-level checkpointing: a preempted build resumes where it
+        # stopped; a stale checkpoint (different config/graph/key) is
+        # discarded and the build restarts clean
+        ckpt = Path(_index_dir(args)) / ".build_ckpt"
         with timers.phase("build"):
-            idx = widx.build_walk_index(dg, rcfg, key)
+            try:
+                idx = widx.build_walk_index(dg, rcfg, key,
+                                            checkpoint_dir=str(ckpt))
+            except ValueError as e:
+                if "checkpoint" not in str(e):
+                    raise
+                info("discarding stale build checkpoint", dir=str(ckpt))
+                shutil.rmtree(ckpt, ignore_errors=True)
+                idx = widx.build_walk_index(dg, rcfg, key,
+                                            checkpoint_dir=str(ckpt))
         widx.save(idx, rcfg, _index_dir(args))
+        shutil.rmtree(ckpt, ignore_errors=True)
         info("index built", dir=_index_dir(args),
              endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
         print(timers.report(), file=sys.stderr)

@@ -123,9 +123,23 @@ def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
 
 def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
                      key: jax.Array, *, max_per_node: Optional[int] = None,
-                     chunk: int = 1 << 21) -> WalkIndex:
+                     chunk: int = 1 << 21,
+                     checkpoint_dir: Optional[str] = None) -> WalkIndex:
     """Run all index walks on device in lane-chunks, then pack the
-    multi-resolution bucketed SpMV layout on the host."""
+    multi-resolution bucketed SpMV layout on the host.
+
+    ``checkpoint_dir``: persist each completed lane-chunk's endpoints
+    (atomic rename) so an interrupted build resumes where it stopped —
+    the per-chunk RNG is keyed by the chunk number (fold_in), so a
+    resumed build is bit-identical to an uninterrupted one.  A manifest
+    guards against resuming with a different graph/config/key/chunking
+    (SURVEY.md Sec. 5.4: the index is the engine's persistent artifact;
+    at billion-edge scale the build is the long job worth preempting).
+    """
+    import hashlib
+    import json
+    from pathlib import Path
+
     n = graph.n
     deg = np.asarray(graph.out_deg)
     counts = index_counts(deg, rcfg, max_per_node)
@@ -148,12 +162,44 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     run = functools.partial(run, graph)
     chunk = -(-chunk // 128) * 128
     n_chunks = max(1, math.ceil(total / chunk))
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        fp = {
+            "counts_sha": hashlib.sha1(counts.tobytes()).hexdigest(),
+            "key_sha": hashlib.sha1(
+                np.asarray(jax.random.key_data(key)).tobytes()).hexdigest(),
+            "chunk": chunk, "total": total, "n": n,
+            "alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
+        }
+        mf = ckpt / "manifest.json"
+        if mf.exists():
+            if json.loads(mf.read_text()) != fp:
+                raise ValueError(
+                    f"index-build checkpoint at {ckpt} belongs to a "
+                    "different graph/config/key/chunking; remove it or "
+                    "point checkpoint_dir elsewhere")
+        else:
+            mf.write_text(json.dumps(fp))
+
     for i in range(n_chunks):
         lo, hi = i * chunk, min((i + 1) * chunk, total)
+        if ckpt is not None:
+            f = ckpt / f"chunk_{i:06d}.npy"
+            if f.exists():
+                endpoints[lo:hi] = np.load(f)
+                continue
         pad = chunk - (hi - lo)
         s = np.pad(starts[lo:hi], (0, pad))
         out = np.asarray(run(jnp.asarray(s), jax.random.fold_in(key, i)))
         endpoints[lo:hi] = out[: hi - lo]
+        if ckpt is not None:
+            tmp = ckpt / f".chunk_{i:06d}.npy.tmp"
+            with open(tmp, "wb") as fh:   # np.save(path) would append .npy
+                np.save(fh, endpoints[lo:hi])
+            tmp.rename(ckpt / f"chunk_{i:06d}.npy")
 
     return pack_index(endpoints, counts, deg, rcfg)
 

@@ -181,7 +181,7 @@ def forward_push(graph: DeviceGraph, sources: jnp.ndarray, *, rmax: float,
 
 def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
                       alpha: float, max_iters: int = 200,
-                      compact_edges: int = 0,
+                      compact_edges: int = 0, max_chunk: int = 1 << 23,
                       gather_dtype=None, thr=None) -> PushState:
     """Continue pushing from an existing (p, r) state to a tighter rmax.
 
@@ -199,6 +199,10 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
     looser for low-degree rows, which dominate the superstep tail.
     Sub-threshold residue on dangling rows is served exactly by the
     index's self-edge (absorbing convention).
+
+    ``max_chunk``: edges per gather/segment_sum chunk — peak memory of a
+    superstep is the [max_chunk, B] gathered intermediate, so wider query
+    batches need a smaller chunk (B=512 fits v5e HBM at 1<<21).
 
     ``compact_edges``: capacity for the frontier-compacted superstep path
     (0 = always dense, the default; -1 = auto via default_edge_cap).
@@ -224,6 +228,7 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
 
     def body(s: PushState):
         return _superstep(graph, rmax, alpha, s, e_cap=e_cap,
+                          max_chunk=max_chunk,
                           gather_dtype=gather_dtype, thr=thr)
 
     return jax.lax.while_loop(cond, body, state0)

@@ -108,3 +108,26 @@ def test_topk_query_pool_matches_query():
     assert pool.accepted.all()
     exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0] for s in sources])
     assert metrics.batch_precision_at_k(pool.node_ids, exact_ids) >= 0.85
+
+
+def test_topk_query_pool_adaptive_width():
+    """With batch > 128, straggler levels re-batch at narrower widths
+    (>= 128) and results still match the exact oracle."""
+    from fora_tpu.algo import topk as topk_algo
+    g = generators.erdos_renyi(500, 6000, seed=17)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    runner = topk_algo.TopkRunner(dg, rcfg, k=8)
+    sources = np.arange(300) % g.n
+    pool = runner.query_pool(sources, jax.random.key(11), batch=256)
+    assert pool.node_ids.shape == (300, 8)
+    assert pool.accepted.all()
+    widths = [st["width"] for st in runner.last_level_stats]
+    assert widths[0] == 256
+    assert all(w >= 128 and 256 % w == 0 for w in widths)
+    # stragglers after level 0 must not pay full-pool padding
+    if len(widths) > 1 and runner.last_level_stats[1]["pending"] <= 128:
+        assert widths[1] == 128
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0]
+                          for s in sources[:40]])
+    assert metrics.batch_precision_at_k(pool.node_ids[:40], exact_ids) >= 0.85

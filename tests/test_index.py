@@ -178,3 +178,52 @@ def test_staged_query_pool_matches_fused():
                          np.float32(rcfg.omega_unit))
     np.testing.assert_allclose(np.asarray(res_f.ppr), np.asarray(res_s.ppr),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_build_checkpoint_resume(tmp_path, monkeypatch):
+    """An interrupted index build resumes from its chunk checkpoints and
+    produces a bit-identical index; a mismatched checkpoint is refused."""
+    import pytest
+    from fora_tpu.index import build as ib
+
+    g = generators.erdos_renyi(300, 3000, seed=5)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    key = jax.random.key(12)
+    chunk = 1 << 11   # force >= 4 chunks
+    ref = ib.build_walk_index(dg, rcfg, key, chunk=chunk)
+
+    # interrupt after 2 chunks (np.pad runs host-side once per chunk;
+    # the walk kernel itself is jitted, so patching it would only catch
+    # the trace call)
+    calls = {"n": 0}
+    real_pad = np.pad
+
+    def flaky_pad(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("preempted")
+        return real_pad(*a, **kw)
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setattr(np, "pad", flaky_pad)
+    with pytest.raises(RuntimeError):
+        ib.build_walk_index(dg, rcfg, key, chunk=chunk,
+                            checkpoint_dir=str(ckpt))
+    monkeypatch.setattr(np, "pad", real_pad)
+    done = sorted(p.name for p in ckpt.glob("chunk_*.npy"))
+    assert len(done) == 2
+
+    resumed = ib.build_walk_index(dg, rcfg, key, chunk=chunk,
+                                  checkpoint_dir=str(ckpt))
+    np.testing.assert_array_equal(np.asarray(resumed.edge_src),
+                                  np.asarray(ref.edge_src))
+    np.testing.assert_array_equal(np.asarray(resumed.edge_dst),
+                                  np.asarray(ref.edge_dst))
+    np.testing.assert_array_equal(np.asarray(resumed.counts_cum),
+                                  np.asarray(ref.counts_cum))
+
+    # a different key must refuse the stale checkpoint
+    with pytest.raises(ValueError, match="checkpoint"):
+        ib.build_walk_index(dg, rcfg, jax.random.key(99), chunk=chunk,
+                            checkpoint_dir=str(ckpt))
