@@ -92,6 +92,10 @@ class TopkRunner:
         self.accept_slack = accept_slack
         self.rcfg = rcfg
         self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
+        # shallowest delta level that produced an acceptance in the most
+        # recent pool run; later pools skip the levels above it (see
+        # query_pool docstring)
+        self.auto_start_level = 0
         self._fns = {}
         self._sfns = {}
         self._staged = None
@@ -164,7 +168,8 @@ class TopkRunner:
         return self._sfns[key]
 
     def query_pool(self, sources: np.ndarray, key: jax.Array,
-                   batch: int) -> TopkResult:
+                   batch: int, start_level: Optional[int] = None
+                   ) -> TopkResult:
         """Level-pipelined batching over a pool of queries with incremental
         push.
 
@@ -181,7 +186,16 @@ class TopkRunner:
             pool is large, halving (down to 128 — below that the shared
             row-gather stops amortizing) once stragglers thin out, so the
             deep-level tail doesn't pay for padding lanes.  Each distinct
-            width is one extra set of compiled shapes (cached).
+            width is one extra set of compiled shapes (cached), and
+          * the START level adapts across pools: levels too coarse for
+            the workload accept nothing yet still pay a full walk-SpMV +
+            top-k pass each, so the next pool begins at the shallowest
+            level that actually accepted last time (``start_level``
+            overrides; one merged push step to that level's rmax
+            converges faster than stepping, see delta_schedule).
+            Starting deeper never weakens the guarantee — each level's
+            acceptance test is self-contained — it only hands
+            early-acceptable queries a finer-than-required answer.
         """
         import math
 
@@ -211,9 +225,14 @@ class TopkRunner:
         r_state = jnp.zeros((n, len(cols)), jnp.float32).at[
             src_pad, jnp.arange(len(cols))].set(1.0)
 
+        start = (self.auto_start_level if start_level is None
+                 else start_level)
+        start = max(0, min(start, len(self.deltas) - 1))
+        first_accept = None
+
         for level, d in enumerate(self.deltas):
-            if len(pending) == 0:
-                break
+            if level < start or len(pending) == 0:
+                continue
             max_level = level + 1
             _t0 = _time.time()
             _n_pending = len(pending)
@@ -221,6 +240,7 @@ class TopkRunner:
             fn = self._state_fn(ckey)
             last = level == len(self.deltas) - 1
             keep_cols = []
+            n_ok = 0
             new_p, new_r = [], []
             # dispatch every batch of the level before the first host sync:
             # jax dispatch is async, so batch i+1's push overlaps batch i's
@@ -243,6 +263,7 @@ class TopkRunner:
                     q = pending[g]
                     ok = bool(vals[b, -1] >=
                               self.accept_slack * (1 + eps) * d)
+                    n_ok += ok
                     if ok or last:
                         out_ids[q] = idx[b]
                         out_vals[q] = vals[b]
@@ -254,7 +275,10 @@ class TopkRunner:
             self.last_level_stats.append(dict(
                 level=level, delta=d, width=width,
                 batches=-(-p_state.shape[1] // width),
-                pending=_n_pending, secs=round(_time.time() - _t0, 3)))
+                pending=_n_pending, accepted=n_ok,
+                secs=round(_time.time() - _t0, 3)))
+            if n_ok and first_accept is None:
+                first_accept = level
             if not keep_cols:
                 pending = pending[:0]
                 break
@@ -269,5 +293,14 @@ class TopkRunner:
             p_state = jnp.take(p_all, take, axis=1)
             r_state = jnp.take(r_all, take, axis=1)
 
+        if first_accept is not None:
+            st0 = self.last_level_stats[0]
+            if (first_accept == start and start > 0
+                    and st0["accepted"] == st0["pending"]):
+                # everything accepted immediately: the workload may have
+                # shifted shallower — probe one level up next pool
+                self.auto_start_level = start - 1
+            else:
+                self.auto_start_level = first_accept
         return TopkResult(node_ids=out_ids, values=out_vals,
                           levels_used=max_level, accepted=accepted)

@@ -131,3 +131,29 @@ def test_topk_query_pool_adaptive_width():
     exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0]
                           for s in sources[:40]])
     assert metrics.batch_precision_at_k(pool.node_ids[:40], exact_ids) >= 0.85
+
+
+def test_topk_query_pool_adaptive_start_level():
+    """A second pool run skips levels that accepted nothing in the first,
+    with identical acceptance and matching results."""
+    from fora_tpu.algo import topk as topk_algo
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    runner = topk_algo.TopkRunner(dg, rcfg, k=8)
+    sources = np.arange(20)
+    first = runner.query_pool(sources, jax.random.key(9), batch=8)
+    assert first.accepted.all()
+    start = runner.auto_start_level
+    first_levels = [st["level"] for st in runner.last_level_stats]
+    assert first_levels[0] == 0
+    second = runner.query_pool(sources, jax.random.key(10), batch=8)
+    second_levels = [st["level"] for st in runner.last_level_stats]
+    assert second_levels[0] == start
+    assert second.accepted.all()
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0] for s in sources])
+    assert metrics.batch_precision_at_k(second.node_ids, exact_ids) >= 0.85
+    # explicit start_level=0 restores the full schedule
+    runner.query_pool(sources[:8], jax.random.key(11), batch=8,
+                      start_level=0)
+    assert runner.last_level_stats[0]["level"] == 0
