@@ -206,18 +206,20 @@ class StagedForaPrograms:
             max_iters=rcfg.max_push_iters, max_chunk=gather_chunk,
             gather_dtype=gather_dtype))
 
-        def bucket_spmv(src, dst, rw, contrib):
+        def bucket_spmv(src, dst, mult, rw, contrib):
             return contrib + push_ops.gather_segment_sum(
                 rw, src, dst, rcfg.n, max_chunk=gather_chunk,
-                gather_dtype=gather_dtype)
+                gather_dtype=gather_dtype, edge_w=mult)
 
         self._bucket = jax.jit(bucket_spmv)
-        self._buckets = []          # [(src, dst)] per bucket q
+        self._buckets = []          # [(src, dst, mult-or-None)] per bucket q
         for q in range(ib.NUM_BUCKETS):
             lo = int(index.bucket_offsets[q])
             hi = int(index.bucket_offsets[q + 1])
+            mult = (index.edge_mult[lo:hi]
+                    if index.edge_mult is not None else None)
             self._buckets.append(
-                (index.edge_src[lo:hi], index.edge_dst[lo:hi])
+                (index.edge_src[lo:hi], index.edge_dst[lo:hi], mult)
                 if hi > lo else None)
 
         def weight_and_zero(r, counts_col):
@@ -256,8 +258,8 @@ class StagedForaPrograms:
             for q in range(index_depth, ib.NUM_BUCKETS):
                 if self._buckets[q] is None:
                     continue
-                src, dst = self._buckets[q]
-                contrib = self._bucket(src, dst, rw, contrib)
+                src, dst, mult = self._buckets[q]
+                contrib = self._bucket(src, dst, mult, rw, contrib)
             return self._finish(st.p, contrib, st.r, st.iters), st.p, st.r
 
         return fn

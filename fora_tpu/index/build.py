@@ -32,6 +32,15 @@ the demanded omega_v).
 
 Dangling nodes get a single self-edge in the deepest bucket (absorbing
 convention) rather than pool walks.
+
+Duplicate (v, endpoint) pairs within a bucket are merged into one edge with
+an integer multiplicity (``edge_mult``): every duplicate carries the same
+weight r[v]/count_v, so c copies == one edge scaled by c — bitwise-lossless
+up to float association.  Walk endpoints concentrate (each walk ends at its
+own source w.p. alpha = 0.2; hub nodes absorb much of the rest), so the
+merge removes a large fraction of index edges, directly cutting the
+walk-phase gather element count — the measured hot-path bottleneck on v5e
+(gathers are element-rate-limited, not byte-limited; see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -68,9 +77,13 @@ class WalkIndex(NamedTuple):
     #                              slice [bucket_offsets[q]:] = depth-q prefix? no:
     #                              see layout note in build_walk_index
     counts_cum: jnp.ndarray      # [n, NUM_BUCKETS] i32 — pool entries of v
-    #                              visible at depth q
+    #                              visible at depth q (PRE-merge sample
+    #                              counts: the estimator weight is
+    #                              1/counts_cum regardless of merging)
     omega_unit_built: float
     rmax_built: float
+    edge_mult: Optional[jnp.ndarray] = None  # [E] f32 multiplicity of each
+    #                              merged edge (None = all ones, legacy)
 
     @property
     def total_edges(self) -> int:
@@ -102,11 +115,12 @@ class WalkIndex(NamedTuple):
         q = int(-math.log(max(ratio, 1e-300)) // math.log(BUCKET_BASE))
         return min(max(q, 0), NUM_BUCKETS - 1)
 
-    def edges_at_depth(self, q: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Static slice of edges used at depth q (buckets q..deepest are
-        stored contiguously at the tail)."""
+    def edges_at_depth(self, q: int):
+        """Static slice of (src, dst, mult-or-None) used at depth q
+        (buckets q..deepest are stored contiguously at the tail)."""
         lo = int(self.bucket_offsets[q])
-        return self.edge_src[lo:], self.edge_dst[lo:]
+        mult = self.edge_mult[lo:] if self.edge_mult is not None else None
+        return self.edge_src[lo:], self.edge_dst[lo:], mult
 
 
 def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
@@ -204,8 +218,46 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     return pack_index(endpoints, counts, deg, rcfg)
 
 
+def _merge_bucket_duplicates(src: np.ndarray, dst: np.ndarray,
+                             bucket: np.ndarray):
+    """Merge identical (src, dst) pairs within a bucket into one edge with a
+    multiplicity.  Input order is irrelevant; output is (bucket, dst, src)-
+    sorted, so each bucket stays dst-ascending (sorted segment_sum
+    contract).  Returns (src, dst, bucket, mult)."""
+    if len(src) == 0:
+        return src, dst, bucket, np.ones(0, np.float32)
+    order = np.lexsort((src, dst, bucket))
+    src, dst, bucket = src[order], dst[order], bucket[order]
+    first = np.empty(len(src), dtype=bool)
+    first[0] = True
+    first[1:] = ((src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+                 | (bucket[1:] != bucket[:-1]))
+    group = np.cumsum(first) - 1
+    mult = np.bincount(group).astype(np.float32)
+    return src[first], dst[first], bucket[first], mult
+
+
+def dedup_index(index: WalkIndex) -> WalkIndex:
+    """Upgrade a legacy (unmerged) index to the multiplicity-merged layout.
+    Lossless; counts_cum (the estimator's sample counts) is unchanged."""
+    if index.edge_mult is not None:
+        return index
+    src = np.asarray(index.edge_src, dtype=np.int64)
+    dst = np.asarray(index.edge_dst, dtype=np.int64)
+    boff = np.asarray(index.bucket_offsets, dtype=np.int64)
+    bucket = np.repeat(np.arange(NUM_BUCKETS, dtype=np.int8), np.diff(boff))
+    src, dst, bucket, mult = _merge_bucket_duplicates(src, dst, bucket)
+    sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
+    new_off = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
+    np.cumsum(sizes, out=new_off[1:])
+    return index._replace(edge_src=jnp.asarray(src.astype(np.int32)),
+                          edge_dst=jnp.asarray(dst.astype(np.int32)),
+                          bucket_offsets=new_off,
+                          edge_mult=jnp.asarray(mult))
+
+
 def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
-               rcfg: ResolvedConfig) -> WalkIndex:
+               rcfg: ResolvedConfig, dedup: bool = True) -> WalkIndex:
     """Host-side packing of raw pools into the bucketed layout.
 
     Entry j of node v lands in bucket q = the deepest depth with
@@ -248,11 +300,20 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
     bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
     np.cumsum(bucket_sizes, out=bucket_offsets[1:])
 
-    # counts_cum[v, q] = edges of v visible at depth q (buckets >= q)
+    # counts_cum[v, q] = edges of v visible at depth q (buckets >= q) —
+    # computed on the RAW (pre-merge) pool: these are the estimator's
+    # i.i.d. sample counts
     counts_cum = np.zeros((n, NUM_BUCKETS), dtype=np.int32)
     for q in range(NUM_BUCKETS):
         lo = bucket_offsets[q]
         counts_cum[:, q] = np.bincount(src[lo:], minlength=n)
+
+    mult = None
+    if dedup:
+        src, dst, bucket, mult = _merge_bucket_duplicates(src, dst, bucket)
+        bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
+        bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
+        np.cumsum(bucket_sizes, out=bucket_offsets[1:])
 
     return WalkIndex(
         edge_src=jnp.asarray(src.astype(np.int32)),
@@ -261,6 +322,7 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
         counts_cum=jnp.asarray(counts_cum),
         omega_unit_built=rcfg.omega_unit,
         rmax_built=rcfg.rmax,
+        edge_mult=jnp.asarray(mult) if mult is not None else None,
     )
 
 
@@ -277,7 +339,10 @@ def index_slices(index: WalkIndex, depth: int):
     for q in range(depth, NUM_BUCKETS):
         lo, hi = int(index.bucket_offsets[q]), int(index.bucket_offsets[q + 1])
         if hi > lo:
-            buckets.append((index.edge_src[lo:hi], index.edge_dst[lo:hi]))
+            mult = (index.edge_mult[lo:hi]
+                    if index.edge_mult is not None else None)
+            buckets.append((index.edge_src[lo:hi], index.edge_dst[lo:hi],
+                            mult))
     counts_col = index.counts_cum[:, depth]
     return tuple(buckets), counts_col
 
@@ -288,7 +353,7 @@ def indexed_walk_contrib_from_slices(buckets, counts_col, r: jnp.ndarray
 
     r: [n, B] post-push residue.  Returns [n, B] endpoint mass:
       contrib[t] = sum over index edges (v -> t) at depth q of
-                   r[v] / counts_col[v].
+                   mult * r[v] / counts_col[v].
     One gather + one sorted segment_sum per bucket — same memory pattern
     as a push superstep, no RNG.
     """
@@ -297,8 +362,8 @@ def indexed_walk_contrib_from_slices(buckets, counts_col, r: jnp.ndarray
     inv_cnt = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
     rw = r * inv_cnt[:, None]                             # [n, B]
     contrib = jnp.zeros_like(r)
-    for src, dst in buckets:
-        contrib = contrib + gather_segment_sum(rw, src, dst, n)
+    for src, dst, mult in buckets:
+        contrib = contrib + gather_segment_sum(rw, src, dst, n, edge_w=mult)
     return contrib
 
 

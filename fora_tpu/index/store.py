@@ -33,6 +33,8 @@ def save(index: WalkIndex, rcfg: ResolvedConfig, path: str) -> None:
     np.save(d / "edge_src.npy", np.asarray(index.edge_src))
     np.save(d / "edge_dst.npy", np.asarray(index.edge_dst))
     np.save(d / "counts_cum.npy", np.asarray(index.counts_cum))
+    if index.edge_mult is not None:
+        np.save(d / "edge_mult.npy", np.asarray(index.edge_mult))
     meta = {
         "format_version": FORMAT_VERSION,
         "n": rcfg.n, "m": rcfg.m,
@@ -64,19 +66,29 @@ def check_compatible(meta: dict, rcfg: ResolvedConfig) -> None:
             f">= {rcfg.omega_unit:.3g}")
 
 
-def load(path: str, rcfg: Optional[ResolvedConfig] = None) -> WalkIndex:
+def load(path: str, rcfg: Optional[ResolvedConfig] = None,
+         dedup: bool = True) -> WalkIndex:
+    """``dedup``: indexes saved before the duplicate-merge layout (no
+    edge_mult.npy) are upgraded in memory on load — lossless, and strictly
+    cheaper to query (see build.py module docstring)."""
+    from .build import dedup_index
     d = Path(path)
     meta = json.loads((d / "meta.json").read_text())
     if rcfg is not None:
         check_compatible(meta, rcfg)
-    return WalkIndex(
+    mult_f = d / "edge_mult.npy"
+    idx = WalkIndex(
         edge_src=jnp.asarray(np.load(d / "edge_src.npy")),
         edge_dst=jnp.asarray(np.load(d / "edge_dst.npy")),
         bucket_offsets=np.asarray(meta["bucket_offsets"], dtype=np.int64),
         counts_cum=jnp.asarray(np.load(d / "counts_cum.npy")),
         omega_unit_built=meta["omega_unit"],
         rmax_built=meta["rmax"],
+        edge_mult=jnp.asarray(np.load(mult_f)) if mult_f.exists() else None,
     )
+    if dedup and idx.edge_mult is None:
+        idx = dedup_index(idx)
+    return idx
 
 
 def load_meta(path: str) -> dict:

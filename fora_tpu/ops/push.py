@@ -50,7 +50,8 @@ def init_state(n: int, sources: jnp.ndarray) -> PushState:
 def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
                        dst: jnp.ndarray, n: int,
                        max_chunk: int = 1 << 23,
-                       gather_dtype=None) -> jnp.ndarray:
+                       gather_dtype=None,
+                       edge_w: jnp.ndarray = None) -> jnp.ndarray:
     """out[t] += sum over edges e with dst[e]==t of values[src[e]].
 
     The [E, B] gathered intermediate is materialized by XLA; for large
@@ -64,6 +65,11 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     the gather, halving the bytes moved through the random-access gather —
     the hot-path bandwidth budget — and accumulate the segment sum in the
     original dtype.  Opt-in: ~0.4% relative error per contribution.
+
+    ``edge_w`` ([E] f32, optional): per-edge multiplier applied to the
+    gathered rows (the FORA+ index's duplicate-merge multiplicity) — an
+    elementwise VPU op on the already-materialized intermediate, cheap
+    next to the gather it shrinks.
     """
     E = src.shape[0]
     B = values.shape[1]
@@ -71,8 +77,10 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     if gather_dtype is not None:
         values = values.astype(gather_dtype)
     if E <= max_chunk:
-        return jax.ops.segment_sum(values[src].astype(out_dtype), dst,
-                                   num_segments=n,
+        vals = values[src].astype(out_dtype)
+        if edge_w is not None:
+            vals = vals * edge_w[:, None]
+        return jax.ops.segment_sum(vals, dst, num_segments=n,
                                    indices_are_sorted=True)
     n_chunks = -(-E // max_chunk)
     pad = n_chunks * max_chunk - E
@@ -85,16 +93,20 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
         n_chunks, max_chunk)
     dst_p = jnp.concatenate(
         [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
+    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
+           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
 
     def body(acc, chunk):
-        s, d = chunk
-        acc = acc + jax.ops.segment_sum(values_pad[s].astype(out_dtype), d,
-                                        num_segments=n + 1,
+        s, d, w = chunk
+        vals = values_pad[s].astype(out_dtype)
+        if w is not None:
+            vals = vals * w[:, None]
+        acc = acc + jax.ops.segment_sum(vals, d, num_segments=n + 1,
                                         indices_are_sorted=True)
         return acc, None
 
     acc0 = jnp.zeros((n + 1, B), out_dtype)
-    acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p))
+    acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p, w_p))
     return acc[:n]
 
 

@@ -100,6 +100,7 @@ class PartitionedIndex(NamedTuple):
     edge_src_local: np.ndarray        # [G * e_loc_total] i32, pad = n_loc
     edge_dst: np.ndarray              # [G * e_loc_total] i32 global, pad = n_pad
     counts_cum: np.ndarray            # [G * n_loc, Q] i32
+    edge_mult: Optional[np.ndarray] = None  # [G * e_loc_total] f32, pad = 0
 
 
 def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
@@ -122,8 +123,12 @@ def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
     np.cumsum(bucket_loc, out=bucket_local_offsets[1:])
     e_loc_total = int(bucket_local_offsets[-1])
 
+    mult = (np.asarray(index.edge_mult, dtype=np.float32)
+            if index.edge_mult is not None else None)
     src_flat = np.full(n_shards * e_loc_total, n_loc, dtype=np.int32)
     dst_flat = np.full(n_shards * e_loc_total, n_pad, dtype=np.int32)
+    mult_flat = (np.zeros(n_shards * e_loc_total, dtype=np.float32)
+                 if mult is not None else None)
     for q in range(Q):
         lo, hi = boff[q], boff[q + 1]
         so = shard_of[lo:hi]
@@ -134,6 +139,8 @@ def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
             base = s * e_loc_total + bucket_local_offsets[q]
             src_flat[base: base + k] = s_src[mask] - s * n_loc
             dst_flat[base: base + k] = s_dst[mask]
+            if mult is not None:
+                mult_flat[base: base + k] = mult[lo:hi][mask]
 
     cc_flat = np.zeros((n_shards * n_loc, Q), dtype=np.int32)
     cc_flat[:n] = cc
@@ -142,4 +149,4 @@ def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
     return PartitionedIndex(e_loc_total=e_loc_total,
                             bucket_local_offsets=bucket_local_offsets,
                             edge_src_local=src_flat, edge_dst=dst_flat,
-                            counts_cum=cc_flat)
+                            counts_cum=cc_flat, edge_mult=mult_flat)

@@ -56,8 +56,10 @@ def _shard_fora_topk(
     idx_edge_src,     # [e_loc_total] i32 local src, pad=n_loc (or dummy)
     idx_edge_dst,     # [e_loc_total] i32 global dst, pad=n_pad (or dummy)
     idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
+    idx_edge_mult,    # [e_loc_total] f32 duplicate-merge multiplicity,
+    #                   pad=0 (or dummy; see index/build.py)
     *, rcfg: ResolvedConfig, n_loc: int, num_lanes_loc: int, k: int,
-    use_index: bool, index_depth: int = 0,
+    use_index: bool, index_has_mult: bool = False, index_depth: int = 0,
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
     ragged_cap: int = 0,
@@ -186,6 +188,8 @@ def _shard_fora_topk(
             if hi == lo:
                 continue
             vals = rw_pad[idx_edge_src[lo:hi]]              # [E_q, Bq]
+            if index_has_mult:
+                vals = vals * idx_edge_mult[lo:hi][:, None]
             contrib_all = contrib_all + jax.ops.segment_sum(
                 vals, idx_edge_dst[lo:hi], num_segments=n_pad + 1,
                 indices_are_sorted=True)
@@ -263,22 +267,28 @@ class ShardedForaEngine:
         self.use_index = index is not None
         index_depth = 0
         bucket_offsets = None
+        index_has_mult = False
         if self.use_index:
             pi = part.partition_index(index, G, pg.n_loc)
             index_depth = index.depth_for(rcfg.omega_unit, rcfg.rmax)
             bucket_offsets = pi.bucket_local_offsets
+            index_has_mult = pi.edge_mult is not None
             self._args += [put(pi.edge_src_local, gspec),
                            put(pi.edge_dst, gspec),
-                           put(pi.counts_cum, gspec)]
+                           put(pi.counts_cum, gspec),
+                           put(pi.edge_mult if index_has_mult
+                               else np.zeros(G, dtype=np.float32), gspec)]
         else:
             dummy = np.zeros(G, dtype=np.int32)
             self._args += [put(dummy, gspec)] * 2 + [
-                put(np.zeros((G, 1), dtype=np.int32), gspec)]
+                put(np.zeros((G, 1), dtype=np.int32), gspec),
+                put(np.zeros(G, dtype=np.float32), gspec)]
 
         fn = functools.partial(
             _shard_fora_topk, rcfg=rcfg, n_loc=pg.n_loc,
             num_lanes_loc=self.num_lanes_loc, k=self.k,
-            use_index=self.use_index, index_depth=index_depth,
+            use_index=self.use_index, index_has_mult=index_has_mult,
+            index_depth=index_depth,
             index_bucket_offsets=bucket_offsets, pallas_ring=pallas_ring,
             pallas_interpret=pallas_interpret, n_graph_shards=G,
             ragged_cap=(max(64, int(pg.n_loc * ragged_capacity_frac)
@@ -286,7 +296,7 @@ class ShardedForaEngine:
         mapped = shard_map(
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,
-                      rep, rep, rep, gspec, gspec, gspec),
+                      rep, rep, rep, gspec, gspec, gspec, gspec),
             out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
         self._jitted = jax.jit(mapped)
         self._src_sharding = jax.sharding.NamedSharding(mesh, P(QUERY_AXIS))

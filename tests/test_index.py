@@ -43,11 +43,15 @@ def test_bucket_structure():
         expect = np.ceil(counts * 4.0 ** (-q)).astype(int)
         expect[deg == 0] = 1    # dangling self-edge visible at every depth
         assert np.array_equal(cc[:, q], expect), q
-    # edges in the depth-q tail are exactly counts_cum[:, q] per node
+    # edges in the depth-q tail carry exactly counts_cum[:, q] samples per
+    # node (multiplicity-weighted: duplicates are merged, see build.py)
     src = np.asarray(idx.edge_src)
+    mult = (np.asarray(idx.edge_mult) if idx.edge_mult is not None
+            else np.ones(len(src)))
     for q in (0, 3, widx.NUM_BUCKETS - 1):
         lo = int(idx.bucket_offsets[q])
-        assert np.array_equal(np.bincount(src[lo:], minlength=g.n), cc[:, q])
+        got = np.bincount(src[lo:], weights=mult[lo:], minlength=g.n)
+        assert np.array_equal(got.astype(np.int64), cc[:, q])
     # dangling self-edge: dst == src for dangling nodes
     dst = np.asarray(idx.edge_dst)
     for v in np.nonzero(deg == 0)[0]:
@@ -128,6 +132,45 @@ def test_indexed_query_at_coarse_depth():
     err = metrics.max_relative_error(
         np.asarray(res.ppr, np.float64)[:, 0], pi, coarse.delta)
     assert err <= 0.6
+
+
+def test_index_dedup_lossless(tmp_path):
+    """Duplicate-merge (edge_mult) preserves the estimator exactly: same
+    contrib at every depth, same counts_cum; legacy saved indexes are
+    upgraded on load."""
+    g = generators.erdos_renyi(80, 400, seed=9)
+    rcfg = ForaConfig(epsilon=0.5, walk_multiplier=5.0).resolved(g.n, g.m)
+    deg = np.asarray(g.out_deg)
+    counts = widx.index_counts(deg, rcfg)
+    rng = np.random.default_rng(0)
+    endpoints = rng.integers(0, g.n, size=int(counts.sum())).astype(np.int32)
+    raw = widx.pack_index(endpoints, counts, deg, rcfg, dedup=False)
+    merged = widx.pack_index(endpoints, counts, deg, rcfg)
+    assert raw.edge_mult is None and merged.edge_mult is not None
+    assert merged.total_edges < raw.total_edges
+    # multiplicities account for every raw edge
+    assert float(np.asarray(merged.edge_mult).sum()) == raw.total_edges
+    assert np.array_equal(np.asarray(raw.counts_cum),
+                          np.asarray(merged.counts_cum))
+    r = jnp.asarray(rng.random((g.n, 4)), jnp.float32)
+    for q in (0, 2, widx.NUM_BUCKETS - 1):
+        a = np.asarray(widx.indexed_walk_contrib(raw, r, q))
+        b = np.asarray(widx.indexed_walk_contrib(merged, r, q))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-8)
+    # dedup_index on the raw layout gives the same packed arrays
+    up = widx.dedup_index(raw)
+    assert np.array_equal(np.asarray(up.edge_src),
+                          np.asarray(merged.edge_src))
+    assert np.array_equal(np.asarray(up.edge_mult),
+                          np.asarray(merged.edge_mult))
+    # legacy save -> load upgrades in memory
+    widx.save(raw, rcfg, str(tmp_path / "legacy"))
+    loaded = widx.load(str(tmp_path / "legacy"), rcfg)
+    assert loaded.edge_mult is not None
+    np.testing.assert_allclose(
+        np.asarray(widx.indexed_walk_contrib(loaded, r, 0)),
+        np.asarray(widx.indexed_walk_contrib(raw, r, 0)),
+        rtol=2e-6, atol=1e-8)
 
 
 def test_index_store_roundtrip(tmp_path):

@@ -82,6 +82,25 @@ def test_gather_segment_sum_chunked_matches():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_gather_segment_sum_edge_weight():
+    """Per-edge multiplier (index duplicate-merge) matches an explicit
+    numpy scatter, in both one-shot and chunked modes."""
+    rng = np.random.default_rng(3)
+    n, E, B = 50, 1000, 4
+    src = rng.integers(0, n, E).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, E)).astype(np.int32)
+    w = rng.random(E).astype(np.float32)
+    vals = rng.random((n, B)).astype(np.float32)
+    want = np.zeros((n, B), np.float32)
+    np.add.at(want, dst, vals[src] * w[:, None])
+    for chunk in (1 << 23, 256):
+        got = push_ops.gather_segment_sum(
+            jnp.asarray(vals), jnp.asarray(src), jnp.asarray(dst), n,
+            max_chunk=chunk, edge_w=jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_compact_frontier_matches_dense():
     """The frontier-compacted superstep path (active_edge_segment_sum) is a
     pure execution-layout change: same fixed point, same estimates, for
