@@ -48,13 +48,22 @@ class CSRGraph(NamedTuple):
 
 
 class DeviceGraph(NamedTuple):
-    """Device-side graph pytree (all jnp arrays; no static fields)."""
+    """Device-side graph pytree (all jnp arrays; no static fields).
+
+    ``in_w`` (optional, [m_u] f32): duplicate-edge multiplicities.  When set,
+    ``in_src``/``in_dst`` hold the UNIQUE (src, dst) pairs and each push
+    superstep multiplies the gathered contribution by ``in_w`` — the same
+    lossless duplicate-merge the FORA+ index uses (multigraph semantics are
+    preserved exactly; out-CSR/degrees keep full multiplicity for walks).
+    Shrinks the hot random row-gather by the graph's parallel-edge fraction.
+    """
 
     out_indptr: "jnp.ndarray"   # [n+1] i32
     out_indices: "jnp.ndarray"  # [m] i32
-    in_src: "jnp.ndarray"       # [m] i32
-    in_dst: "jnp.ndarray"       # [m] i32
+    in_src: "jnp.ndarray"       # [m or m_u] i32
+    in_dst: "jnp.ndarray"       # [m or m_u] i32
     out_deg: "jnp.ndarray"      # [n] i32
+    in_w: "jnp.ndarray" = None  # [m_u] f32 multiplicity, or None
 
     @property
     def n(self) -> int:
@@ -107,13 +116,33 @@ def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
     )
 
 
-def to_device(g: CSRGraph) -> DeviceGraph:
+def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
+    """Copy to device.  ``merge_duplicate_edges`` collapses parallel in-edges
+    into unique (src, dst) pairs with an ``in_w`` multiplicity column (see
+    DeviceGraph) — only worthwhile for multigraphs (e.g. raw RMAT output);
+    simple graphs get ``in_w=None`` and the unmodified edge list."""
+    in_src, in_dst, in_w = g.in_src, g.in_dst, None
+    if merge_duplicate_edges and g.m:
+        # in-edges are dst-sorted; a stable (dst, src) sort keeps dst order,
+        # so the merged list still satisfies sorted-segment_sum's contract
+        key = g.in_dst.astype(np.int64) * g.n + g.in_src
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        first = np.ones(ks.size, bool)
+        first[1:] = ks[1:] != ks[:-1]
+        if not first.all():
+            starts = np.nonzero(first)[0]
+            counts = np.diff(np.append(starts, ks.size))
+            in_src = g.in_src[order][starts]
+            in_dst = g.in_dst[order][starts]
+            in_w = counts.astype(np.float32)
     return DeviceGraph(
         out_indptr=jnp.asarray(g.out_indptr),
         out_indices=jnp.asarray(g.out_indices),
-        in_src=jnp.asarray(g.in_src),
-        in_dst=jnp.asarray(g.in_dst),
+        in_src=jnp.asarray(in_src),
+        in_dst=jnp.asarray(in_dst),
         out_deg=jnp.asarray(g.out_deg),
+        in_w=None if in_w is None else jnp.asarray(in_w),
     )
 
 

@@ -158,7 +158,7 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
     contrib = jnp.where(dangling, 0.0,
                         (1.0 - alpha) * ar / jnp.maximum(deg, 1.0))
 
-    if e_cap > 0:
+    if e_cap > 0 and graph.in_w is None:
         row_active = jnp.any(contrib != 0.0, axis=1)
         delta = active_edge_segment_sum(contrib, graph.in_src, graph.in_dst,
                                         n, row_active, e_cap,
@@ -166,7 +166,8 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
     else:
         delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
                                    max_chunk=max_chunk,
-                                   gather_dtype=gather_dtype)
+                                   gather_dtype=gather_dtype,
+                                   edge_w=graph.in_w)
     r = jnp.where(active, 0.0, state.r) + delta
     return PushState(p=p, r=r, iters=state.iters + 1)
 

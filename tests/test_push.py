@@ -158,3 +158,27 @@ def test_bf16_gather_close_to_f32():
     np.testing.assert_allclose(p_g.sum(0) + np.asarray(got.r).sum(0),
                                1.0, rtol=2e-2)
     assert np.abs(p_g - p_w).max() < 2e-2 * p_w.max()
+
+
+def test_merged_duplicate_edges_match_multigraph():
+    """to_device(merge_duplicate_edges=True) must be lossless: push on the
+    multiplicity-weighted unique edge list equals push on the raw multigraph
+    edge list (RMAT-style parallel edges)."""
+    rng = np.random.default_rng(11)
+    n, m = 64, 512
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    src = np.concatenate([src, src[:200]])   # force heavy duplication
+    dst = np.concatenate([dst, dst[:200]])
+    from fora_tpu.graph.csr import from_edges
+    g = from_edges(src, dst, n)
+    dg_raw = to_device(g)
+    dg_merged = to_device(g, merge_duplicate_edges=True)
+    assert dg_merged.in_w is not None
+    assert dg_merged.in_src.shape[0] < dg_raw.in_src.shape[0]
+    assert float(jnp.sum(dg_merged.in_w)) == g.m
+    a = push_ops.forward_push(dg_raw, jnp.array([3, 9]), rmax=1e-4, alpha=0.2)
+    b = push_ops.forward_push(dg_merged, jnp.array([3, 9]), rmax=1e-4,
+                              alpha=0.2)
+    np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.r), np.asarray(b.r), atol=1e-6)
