@@ -25,6 +25,8 @@ import bench
 
 
 def main():
+    if int(os.environ.get("FORA_PROF_LOGC", "0")):
+        import jax as _j; _j.config.update("jax_log_compiles", True)
     import jax
     import jax.numpy as jnp
     bench.enable_compile_cache()
