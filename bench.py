@@ -113,10 +113,11 @@ def get_exact(g, sources):
     f = CACHE / f"{TAG}.exact{EVAL_N}.{h}.k{K}.npz"
     if f.exists():
         return np.load(f)["ids"]
-    log(f"computing exact PPR for {EVAL_N} sources (power iteration)...")
+    log(f"computing exact PPR for {EVAL_N} sources (batched power iter)...")
     t0 = time.time()
-    ids = np.stack([exact.exact_topk(g, int(s), K)[0]
-                    for s in sources[:EVAL_N]])
+    ids = exact.exact_topk_batch(
+        g, sources[:EVAL_N], K,
+        progress=lambda it, err: log(f"  exact iter {it}: err={err:.2e}"))
     np.savez(f, ids=ids)
     log(f"exact done in {time.time()-t0:.1f}s")
     return ids

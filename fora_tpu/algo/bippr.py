@@ -77,6 +77,44 @@ def backward_push(graph: DeviceGraph, targets: jnp.ndarray, *, rmax_b: float,
                                                 jnp.zeros((), jnp.int32)))
 
 
+def default_bippr_params(rcfg: ResolvedConfig) -> tuple:
+    """Balanced (rmax_b, num_walks), mirroring the forward derivation
+    (config.py): backward-push cost per target ~ (m/n)/rmax_b, walk cost
+    ~ W = c0 * rmax_b / (eps^2 delta) (each walk's contribution is bounded
+    by rmax_b, so W plays omega's role with rsum -> rmax_b); equating the
+    two gives rmax_b = eps * sqrt(delta * m / (n * c0))."""
+    import math
+    c0 = (2.0 * rcfg.epsilon / 3.0 + 2.0) * math.log(2.0 / rcfg.pfail)
+    rmax_b = rcfg.epsilon * math.sqrt(
+        rcfg.delta * rcfg.m / (rcfg.n * c0))
+    num_walks = max(64, int(c0 * rmax_b /
+                            (rcfg.epsilon ** 2 * rcfg.delta)))
+    return rmax_b, num_walks
+
+
+def make_bippr_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
+                  targets: jnp.ndarray, rmax_b: float = None,
+                  num_walks: int = None, lane_cap: int = 1 << 22):
+    """Jitted ``(sources, key) -> [S, T]`` pair estimates against a fixed
+    target set — the reference's ``--algo bippr`` competitor surface
+    [R: algo.h bippr_query].  BiPPR is inherently pairwise; for SSPPR
+    evaluation pass targets = all nodes (small graphs) or a candidate set."""
+    import functools
+    if rmax_b is None or num_walks is None:
+        d_rmax_b, d_walks = default_bippr_params(rcfg)
+        rmax_b = d_rmax_b if rmax_b is None else rmax_b
+        num_walks = d_walks if num_walks is None else num_walks
+    num_walks = min(num_walks, lane_cap)
+    impl = jax.jit(functools.partial(bippr_pairs, rcfg=rcfg, rmax_b=rmax_b,
+                                     num_walks=num_walks))
+
+    def fn(sources, key):
+        return impl(graph, sources, targets, key)
+
+    fn.rmax_b, fn.num_walks = rmax_b, num_walks
+    return fn
+
+
 def bippr_pairs(graph: DeviceGraph, sources: jnp.ndarray,
                 targets: jnp.ndarray, key: jax.Array, *,
                 rcfg: ResolvedConfig, rmax_b: float,

@@ -69,6 +69,58 @@ def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
     return pi
 
 
+def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
+                          tol: float = 1e-12, max_iters: int = 2000,
+                          progress=None) -> np.ndarray:
+    """Batched float64 power iteration over all sources at once.
+
+    One scipy.sparse CSR operand, one [n, B] dense iterate: O(m * B) per
+    iteration through scipy's C matvec instead of B separate numpy
+    bincount passes — the only way ground truth at LiveJournal scale
+    (4M+ nodes, 64+ eval sources) finishes in minutes on a 2-CPU host.
+    Semantics identical to exact_ppr_power (absorbing dangling rows).
+    Returns [n, B] float64.
+    """
+    import scipy.sparse as sp
+    n = g.n
+    sources = np.asarray(sources, dtype=np.int64)
+    B = len(sources)
+    deg = np.asarray(g.out_deg, dtype=np.float64)
+    dangling = np.nonzero(deg == 0)[0]
+    in_src = np.asarray(g.in_src, dtype=np.int64)
+    in_dst = np.asarray(g.in_dst, dtype=np.int64)
+    # A[t, v] = (multiplicity of v->t) / deg[v]; dangling v: A[v, v] = 1.
+    # coo->csr sums duplicate entries, preserving parallel edges.
+    data = 1.0 / deg[in_src]
+    rows = np.concatenate([in_dst, dangling])
+    cols = np.concatenate([in_src, dangling])
+    data = np.concatenate([data, np.ones(len(dangling))])
+    A = sp.csr_matrix((data, (rows, cols)), shape=(n, n))
+
+    X = np.zeros((n, B), dtype=np.float64)
+    X[sources, np.arange(B)] = 1.0
+    E = alpha * X.copy()
+    for it in range(max_iters):
+        nxt = E + (1.0 - alpha) * (A @ X)
+        err = np.abs(nxt - X).sum(axis=0).max()
+        X = nxt
+        if progress is not None and it % 20 == 0:
+            progress(it, float(err))
+        if err <= tol:
+            break
+    return X
+
+
+def exact_topk_batch(g: CSRGraph, sources, k: int, alpha: float = 0.2,
+                     tol: float = 1e-12, progress=None) -> np.ndarray:
+    """Top-k ids per source, [B, k] (descending by exact PPR)."""
+    X = exact_ppr_power_batch(g, sources, alpha, tol=tol, progress=progress)
+    part = np.argpartition(-X, k - 1, axis=0)[:k].T          # [B, k]
+    vals = np.take_along_axis(X.T, part, axis=1)
+    order = np.argsort(-vals, kind="stable", axis=1)
+    return np.take_along_axis(part, order, axis=1).astype(np.int64)
+
+
 def exact_ppr(g: CSRGraph, source: int, alpha: float = 0.2,
               tol: float = 1e-12) -> np.ndarray:
     if g.n <= 512:

@@ -92,7 +92,12 @@ def build_hub_index(graph: DeviceGraph, key: jax.Array, *, alpha: float,
     [P, H] batch) and freeze their endpoints as the pool."""
     out_deg = np.asarray(graph.out_deg)
     if in_deg is None:
-        in_deg = np.bincount(np.asarray(graph.in_dst), minlength=graph.n)
+        # on a merged DeviceGraph (in_w set) in_dst holds UNIQUE pairs;
+        # weight the count by the multiplicity so hub selection sees the
+        # true multigraph in-degree
+        w = (np.asarray(graph.in_w) if graph.in_w is not None else None)
+        in_deg = np.bincount(np.asarray(graph.in_dst), weights=w,
+                             minlength=graph.n).astype(np.int64)
     hubs = select_hubs(out_deg, np.asarray(in_deg), num_hubs)
     H = len(hubs)
     hub_id = np.full(graph.n, -1, np.int32)

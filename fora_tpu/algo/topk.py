@@ -8,9 +8,17 @@ every top-k node sits in the region where the (eps, delta_i) relative-error
 guarantee applies.  Otherwise halve delta (tightening rmax and omega) and
 rerun.
 
-Acceptance test: kth_ppr >= (1 + eps) * delta_i. If pi_hat_k passes, then
-pi_k >= pi_hat_k/(1+eps) >= delta_i, so all of the top-k carry relative
-error <= eps w.p. 1 - p_f.
+Acceptance is the union of two sound tests (either suffices):
+
+  * threshold rule: kth_ppr >= (1 + eps) * delta_i.  Then pi_k >=
+    pi_hat_k/(1+eps) >= delta_i, so all of the top-k carry relative error
+    <= eps w.p. 1 - p_f.
+  * confidence-bound separation (TODS'19 Sec. 5, [R: query.h topk bounds —
+    reconstruction]): per-node Bernstein UB/LB on the walk-phase estimate;
+    accept when the smallest lower bound over the returned set clears the
+    best excluded upper bound within (1+eps) — fires on queries with a
+    clear gap at rank k even when kth_ppr sits below (1+eps) delta_i.
+    See fora_tpu/algo/bounds.py for the derivation and the exact guarantee.
 
 The delta schedule is static (delta_0 / 2^i, bounded by 1/n), so each level
 compiles once and is reused across queries; a whole batch advances levels
@@ -38,6 +46,11 @@ class TopkResult(NamedTuple):
     values: np.ndarray      # [B, k] f32
     levels_used: int        # delta-halving rounds executed
     accepted: np.ndarray    # [B] bool — guarantee test passed (vs maxed out)
+    # per-node guarantee statement: w.p. >= 1 - pfail the true PPR of every
+    # returned node lies in [lower_bounds, upper_bounds] (None on paths
+    # that don't compute bounds)
+    lower_bounds: Optional[np.ndarray] = None   # [B, k] f32
+    upper_bounds: Optional[np.ndarray] = None   # [B, k] f32
 
 
 def delta_schedule(rcfg: ResolvedConfig, k: int, stride: float = 2.0) -> list:
@@ -70,21 +83,27 @@ class TopkRunner:
     """
 
     LANE_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
+    PROBE_EVERY = 8   # pools between one-level-shallower start probes
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
                  index=None, delta_stride: float = 2.0,
                  accept_slack: float = 1.0, gather_dtype=None,
-                 gather_chunk: int = 1 << 23):
-        """accept_slack > 1 tightens the stopping rule (accept only when
-        kth_ppr >= accept_slack * (1+eps) * delta): one level deeper on
-        borderline queries, better final precision at extra cost.
+                 gather_chunk: int = 1 << 23, bound_accept: bool = True):
+        """accept_slack > 1 tightens the threshold stopping rule (accept
+        only when kth_ppr >= accept_slack * (1+eps) * delta): one level
+        deeper on borderline queries, better final precision at extra cost.
+
+        bound_accept: enable the confidence-bound separation test as a
+        second acceptance path (see module docstring / bounds.py); the
+        threshold rule is always active.
 
         gather_dtype (e.g. jnp.bfloat16) halves the bytes of the hot
         SpMV gathers (push + index walk phase); see gather_segment_sum.
 
         gather_chunk caps the [chunk, B] gathered intermediate — lower it
         to run wider query batches in fixed HBM (see forward_push_from)."""
+        from . import bounds as bounds_mod
         self.graph = graph
         self.gather_dtype = gather_dtype
         self.gather_chunk = gather_chunk
@@ -92,6 +111,11 @@ class TopkRunner:
         self.accept_slack = accept_slack
         self.rcfg = rcfg
         self.deltas = delta_schedule(rcfg, self.k, stride=delta_stride)
+        self.bound_accept = bound_accept
+        # jit caches per input shape, so one fn serves every batch width
+        self._accept = bounds_mod.make_topk_bounds_fn(
+            self.k, bounds_mod.union_bound_t(rcfg.n, len(self.deltas),
+                                             rcfg.pfail), rcfg.epsilon)
         # start level for the next pool, chosen by the measured cost model
         # (_update_start_level); later pools skip the levels above it
         self.auto_start_level = 0
@@ -131,6 +155,8 @@ class TopkRunner:
         B, k, eps = sources.shape[0], self.k, self.rcfg.epsilon
         best_vals = jnp.zeros((B, k), jnp.float32)
         best_idx = jnp.zeros((B, k), jnp.int32)
+        best_lb = jnp.zeros((B, k), jnp.float32)
+        best_ub = jnp.full((B, k), jnp.inf, jnp.float32)
         accepted = jnp.zeros((B,), bool)
         levels = 0
         for level, d in enumerate(self.deltas):
@@ -138,20 +164,29 @@ class TopkRunner:
             ckey, rmax, omega_unit = self._levels[level]
             res = self._fn(ckey)(sources, jax.random.fold_in(key, level),
                                  jnp.float32(rmax), jnp.float32(omega_unit))
-            vals, idx = topk_ops.topk_nodes(res.ppr, k)
-            newly = jnp.logical_and(
-                ~accepted, vals[:, -1] >= self.accept_slack * (1 + eps) * d)
+            # this path has no separate settled-mass p; zeros keep the
+            # bounds valid, just wider (see bounds.py docstring)
+            vals, idx, lb, ub, _, _, bacc = self._accept(
+                res.ppr, jnp.zeros_like(res.ppr), jnp.float32(omega_unit))
+            newly = vals[:, -1] >= self.accept_slack * (1 + eps) * d
+            if self.bound_accept:
+                newly = jnp.logical_or(newly, bacc)
+            newly = jnp.logical_and(~accepted, newly)
             take = jnp.logical_or(newly, jnp.logical_and(~accepted,
                                                          level == len(self.deltas) - 1))
             best_vals = jnp.where(take[:, None], vals, best_vals)
             best_idx = jnp.where(take[:, None], idx, best_idx)
+            best_lb = jnp.where(take[:, None], lb, best_lb)
+            best_ub = jnp.where(take[:, None], ub, best_ub)
             accepted = jnp.logical_or(accepted, newly)
             if bool(jnp.all(accepted)):
                 break
         return TopkResult(node_ids=np.asarray(best_idx),
                           values=np.asarray(best_vals),
                           levels_used=levels,
-                          accepted=np.asarray(accepted))
+                          accepted=np.asarray(accepted),
+                          lower_bounds=np.asarray(best_lb),
+                          upper_bounds=np.asarray(best_ub))
 
     def _state_fn(self, key: int):
         if key not in self._sfns:
@@ -210,6 +245,8 @@ class TopkRunner:
         k, eps = self.k, self.rcfg.epsilon
         out_ids = np.zeros((n_q, k), np.int32)
         out_vals = np.zeros((n_q, k), np.float32)
+        out_lb = np.zeros((n_q, k), np.float32)
+        out_ub = np.full((n_q, k), np.inf, np.float32)
         max_level = 0
         accepted = np.zeros(n_q, bool)
         pending = np.arange(n_q)
@@ -228,10 +265,17 @@ class TopkRunner:
         r_state = jnp.zeros((n, len(cols)), jnp.float32).at[
             src_pad, jnp.arange(len(cols))].set(1.0)
 
-        start = (self.auto_start_level if start_level is None
-                 else start_level)
+        start = self.auto_start_level
+        if start_level is None and start > 0 \
+                and self._pools_since_probe >= self.PROBE_EVERY:
+            # periodic probe one level shallower: the cost model can only
+            # rank levels it has stats for, so occasionally pay one extra
+            # level to learn whether the workload shifted shallower
+            start -= 1
+            self._pools_since_probe = 0
+        elif start_level is not None:
+            start = start_level
         start = max(0, min(start, len(self.deltas) - 1))
-        first_accept = None
 
         for level, d in enumerate(self.deltas):
             if level < start or len(pending) == 0:
@@ -244,6 +288,7 @@ class TopkRunner:
             last = level == len(self.deltas) - 1
             keep_cols = []
             n_ok = 0
+            n_ok_bound = 0   # accepted by the bound test alone
             new_p, new_r = [], []
             # dispatch every batch of the level before the first host sync:
             # jax dispatch is async, so batch i+1's push overlaps batch i's
@@ -255,21 +300,28 @@ class TopkRunner:
                 res, pc, rc = fn(pc, rc,
                                  jax.random.fold_in(key, level * 10007 + lo),
                                  jnp.float32(rmax), jnp.float32(omega_unit))
-                vals, idx = topk_ops.topk_nodes(res.ppr, k)
-                inflight.append((lo, pc, rc, vals, idx))
-            for lo, pc, rc, vals, idx in inflight:
+                vals, idx, lb, ub, _, _, bacc = self._accept(
+                    res.ppr, pc, jnp.float32(omega_unit))
+                inflight.append((lo, pc, rc, vals, idx, lb, ub, bacc))
+            for lo, pc, rc, vals, idx, lb, ub, bacc in inflight:
                 vals, idx = np.asarray(vals), np.asarray(idx)
+                lb, ub = np.asarray(lb), np.asarray(ub)
+                bacc = np.asarray(bacc)
                 for b in range(width):
                     g = lo + b
                     if g >= len(pending):
                         continue
                     q = pending[g]
-                    ok = bool(vals[b, -1] >=
-                              self.accept_slack * (1 + eps) * d)
+                    ok_thr = bool(vals[b, -1] >=
+                                  self.accept_slack * (1 + eps) * d)
+                    ok = ok_thr or (self.bound_accept and bool(bacc[b]))
                     n_ok += ok
+                    n_ok_bound += ok and not ok_thr
                     if ok or last:
                         out_ids[q] = idx[b]
                         out_vals[q] = vals[b]
+                        out_lb[q] = lb[b]
+                        out_ub[q] = ub[b]
                         accepted[q] = ok
                     else:
                         keep_cols.append(g)
@@ -279,9 +331,8 @@ class TopkRunner:
                 level=level, delta=d, width=width,
                 batches=-(-p_state.shape[1] // width),
                 pending=_n_pending, accepted=n_ok,
+                accepted_bound_only=n_ok_bound,
                 secs=round(_time.time() - _t0, 3)))
-            if n_ok and first_accept is None:
-                first_accept = level
             if not keep_cols:
                 pending = pending[:0]
                 break
@@ -296,14 +347,33 @@ class TopkRunner:
             p_state = jnp.take(p_all, take, axis=1)
             r_state = jnp.take(r_all, take, axis=1)
 
-        if first_accept is not None:
-            st0 = self.last_level_stats[0]
-            if (first_accept == start and start > 0
-                    and st0["accepted"] == st0["pending"]):
-                # everything accepted immediately: the workload may have
-                # shifted shallower — probe one level up next pool
-                self.auto_start_level = start - 1
-            else:
-                self.auto_start_level = first_accept
+        if start_level is None:
+            self._update_start_level(n_q)
+            self._pools_since_probe += 1
         return TopkResult(node_ids=out_ids, values=out_vals,
-                          levels_used=max_level, accepted=accepted)
+                          levels_used=max_level, accepted=accepted,
+                          lower_bounds=out_lb, upper_bounds=out_ub)
+
+    def _update_start_level(self, n_total: int) -> None:
+        """Measured cost model for the next pool's start level.
+
+        From this pool's per-level (secs, width, batches, pending) stats,
+        estimate the total cost of starting the next pool at each executed
+        level s: level s then processes ALL n_total queries at its measured
+        per-lane rate, and every deeper level keeps its observed cost
+        (acceptance at a level is monotone in depth, so starting deeper
+        does not change which queries remain pending below it).  Pick the
+        argmin.  Levels shallower than this pool's start have no stats and
+        cannot win here — the periodic probe in query_pool supplies them.
+        """
+        stats = self.last_level_stats
+        if not stats:
+            return
+        best_level, best_cost = stats[0]["level"], None
+        for i, st in enumerate(stats):
+            rate = st["secs"] / max(st["width"] * st["batches"], 1)
+            pad = -(-n_total // st["width"]) * st["width"]
+            cost = rate * pad + sum(s2["secs"] for s2 in stats[i + 1:])
+            if best_cost is None or cost < best_cost:
+                best_level, best_cost = st["level"], cost
+        self.auto_start_level = best_level

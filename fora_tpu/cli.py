@@ -49,9 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", default="data", help="dataset root dir")
     p.add_argument("--dataset", required=True)
     p.add_argument("--algo", default="fora",
-                   choices=["fora", "montecarlo", "fwdpush", "hubppr"])
+                   choices=["fora", "montecarlo", "fwdpush", "hubppr",
+                            "bippr"])
     p.add_argument("--num-hubs", type=int, default=256,
                    help="hubppr: hub count for the forward hub index")
+    p.add_argument("--target-file", default=None,
+                   help="bippr: file of target node ids (one per line); "
+                        "default: all nodes if n<=4096, else a seeded "
+                        "sample of --bippr-targets")
+    p.add_argument("--bippr-targets", type=int, default=2048,
+                   help="bippr: sampled target-set size on large graphs")
     p.add_argument("--epsilon", type=float, default=0.5)
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--delta", type=float, default=None, help="default 1/n")
@@ -179,6 +186,7 @@ def _main(argv=None) -> int:
         # BASELINE config 2): mean/max relative error over pi > delta vs
         # the exact oracle, per epsilon, FORA+ indexed when --with-idx
         from .algo import exact, fora as fora_algo
+        from .ops import topk as topk_ops
         from . import index as widx
         key = jax.random.key(args.seed)
         sources = query_io.load_queries(str(_query_file(args)))[: args.batch]
@@ -187,6 +195,8 @@ def _main(argv=None) -> int:
             [sources, np.repeat(sources[-1:], pad)]), jnp.int32)
         exacts = [exact.exact_ppr(g, int(s), alpha=args.alpha)
                   for s in sources]
+        exact_topk = [np.argsort(-pi, kind="stable")[: args.k]
+                      for pi in exacts]
         for eps in [float(x) for x in args.sweep_eps.split(",")]:
             rc = ForaConfig(alpha=args.alpha, epsilon=eps, delta=args.delta,
                             pfail=args.pfail).resolved(g.n, g.m)
@@ -198,15 +208,22 @@ def _main(argv=None) -> int:
                 res = fn(src, jax.random.fold_in(key, int(eps * 1e6)))
                 jax.block_until_ready(res.ppr)
             ppr = np.asarray(res.ppr, np.float64)
-            maxres, meanres = [], []
+            _, pred_ids = topk_ops.topk_nodes(res.ppr, args.k)
+            pred_ids = np.asarray(pred_ids)
+            maxres, meanres, precs, recs = [], [], [], []
             for b, pi in enumerate(exacts):
                 maxres.append(metrics.max_relative_error(ppr[:, b], pi,
                                                          rc.delta))
                 meanres.append(metrics.mean_relative_error(ppr[:, b], pi,
                                                            rc.delta))
+                precs.append(metrics.precision_at_k(pred_ids[b],
+                                                    exact_topk[b]))
+                recs.append(metrics.recall_at_k(pred_ids[b], exact_topk[b]))
             rec = log.event("sweep", epsilon=eps, delta=rc.delta,
                             max_rel_err=float(np.max(maxres)),
                             mean_rel_err=float(np.mean(meanres)),
+                            precision_at_k=float(np.mean(precs)),
+                            recall_at_k=float(np.mean(recs)), k=args.k,
                             queries=len(sources))
             print(json.dumps(rec), flush=True)
         print(timers.report(), file=sys.stderr)
@@ -253,6 +270,26 @@ def _main(argv=None) -> int:
         elif args.algo == "montecarlo":
             fn = mc_algo.make_montecarlo_fn(dg, rcfg)
             run = fn
+        elif args.algo == "bippr":
+            from .algo import bippr as bippr_algo
+            if args.target_file:
+                targets = np.array([int(x) for x in
+                                    Path(args.target_file).read_text().split()])
+            elif g.n <= 4096:
+                targets = np.arange(g.n)
+            else:
+                targets = np.sort(np.random.default_rng(args.seed)
+                                  .choice(g.n, args.bippr_targets,
+                                          replace=False))
+            tgt = jnp.asarray(targets, jnp.int32)
+            bfn = bippr_algo.make_bippr_fn(dg, rcfg, tgt)
+            info("bippr", targets=len(targets),
+                 rmax_b=f"{bfn.rmax_b:.3g}", walks=bfn.num_walks)
+
+            def run(s, k):
+                est = bfn(s, k)                               # [S, T]
+                return jnp.zeros((g.n, est.shape[0]),
+                                 jnp.float32).at[tgt, :].set(est.T)
         elif args.algo == "hubppr":
             from .algo import hubppr as hub_algo
             with timers.phase("hub-build"):

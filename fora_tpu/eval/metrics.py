@@ -23,6 +23,20 @@ def batch_precision_at_k(pred_ids: np.ndarray, exact_ids: np.ndarray) -> float:
                           for p, e in zip(pred_ids, exact_ids)]))
 
 
+def recall_at_k(pred_ids: np.ndarray, exact_ids: np.ndarray) -> float:
+    """|pred ∩ exact| / |exact| — differs from precision@k when the
+    prediction returns fewer than |exact| ids (e.g. a candidate-set
+    competitor like BiPPR whose target set truncates the answer)."""
+    pred = set(np.asarray(pred_ids).ravel().tolist())
+    ex = np.asarray(exact_ids).ravel()
+    return len(pred & set(ex.tolist())) / max(len(ex), 1)
+
+
+def batch_recall_at_k(pred_ids, exact_ids) -> float:
+    return float(np.mean([recall_at_k(p, e)
+                          for p, e in zip(pred_ids, exact_ids)]))
+
+
 def max_relative_error(pi_hat: np.ndarray, pi: np.ndarray,
                        delta: float) -> float:
     """max over {t : pi(t) > delta} of |pi_hat - pi| / pi  — the quantity the

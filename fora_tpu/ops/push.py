@@ -224,6 +224,10 @@ def forward_push_from(graph: DeviceGraph, state0: PushState, *, rmax: float,
     per-element random gather (~40M elem/s, no batch amortization), which
     costs more than the dense path saves at realistic frontier sizes.
     Kept as an opt-in for very sparse frontiers (B=1 tails, huge graphs).
+    Incompatible with merged duplicate edges: on a graph with ``in_w`` set,
+    the superstep always takes the dense path (active_edge_segment_sum does
+    not thread the per-edge multiplicity), so a requested ``compact_edges``
+    is ignored.
     """
     deg = graph.out_deg.astype(jnp.float32)[:, None]
     state0 = state0._replace(iters=jnp.zeros((), jnp.int32))  # per-call cap

@@ -38,6 +38,27 @@ def test_backward_push_invariant_with_dangling():
         np.testing.assert_allclose(p + P @ r, P[:, t], atol=1e-5)
 
 
+def test_bippr_ssppr_topk():
+    """make_bippr_fn with targets=all nodes answers SSPPR top-k (the CLI's
+    --algo bippr surface) at good precision; recall@k matches when the
+    lists are equal length."""
+    from fora_tpu.eval import metrics
+    g = generators.karate_club()
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    tgt = jnp.arange(g.n, dtype=jnp.int32)
+    fn = make_fn = bippr.make_bippr_fn(dg, rcfg, tgt, num_walks=8192)
+    est = np.asarray(fn(jnp.array([0, 33]), jax.random.key(1)))  # [2, n]
+    P = _ppr_matrix(g)
+    precs = []
+    for i, s in enumerate((0, 33)):
+        pred = np.argsort(-est[i])[:5]
+        ex = np.argsort(-P[s])[:5]
+        precs.append(metrics.precision_at_k(pred, ex))
+        assert metrics.recall_at_k(pred, ex) == precs[-1]
+    assert np.mean(precs) >= 0.8
+
+
 def test_bippr_pair_estimates():
     g = generators.karate_club()
     dg = to_device(g)
