@@ -9,30 +9,36 @@ Prints ONE JSON line on stdout:
 standing in for the upstream reference binary, whose mount shipped empty
 (SURVEY.md header) and whose BASELINE.json has no published numbers.
 
-The benchmark graph is RMAT (power-law, LiveJournal-like skew); scale via
-env:
-  FORA_BENCH_NLOG2   log2(nodes)          default 19   (524K nodes)
+The benchmark graph is RMAT (power-law, LiveJournal-like skew); the default
+scale matches BASELINE.md config 3 (LiveJournal-class: 4.2M nodes, 67M
+edges).  Scale via env:
+  FORA_BENCH_NLOG2   log2(nodes)          default 22   (4.2M nodes)
   FORA_BENCH_EDGEF   edges per node       default 16
-  FORA_BENCH_BATCH   max sources per batch, default 512 (straggler levels
+  FORA_BENCH_BATCH   max sources per batch, default 256 (straggler levels
                      re-batch narrower automatically, floor 128)
   FORA_BENCH_QUERIES total queries        default 512
+  FORA_BENCH_POOL    queries per resident pool, default 256 — the pool
+                     runner keeps [n, pool] f32 push state (p and r) on
+                     device, so pool*n*8 bytes must fit HBM alongside the
+                     graph and index (4.2M nodes: pool 256 = 8.6 GB)
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
-  FORA_BENCH_EVAL    queries scored vs exact oracle, default 16
-  FORA_BENCH_CPPQ    queries for the C++ baseline, default 8
+  FORA_BENCH_EVAL    queries scored vs exact oracle, default 64
+  FORA_BENCH_CPPQ    queries for the C++ baseline, default 16
   FORA_BENCH_CACHE   cache dir            default bench_data
   FORA_BENCH_INDEX   1 = FORA+ indexed walks (default 1)
   FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
   FORA_BENCH_RMAXS   rmax_scale: push/walk balance; >1 = less push,
                      bigger index (default 1)
   FORA_BENCH_CHUNK   log2 edges per gather chunk (peak mem is the
-                     [chunk, B] intermediate; default 21 — sized for B=512)
+                     [chunk, B] intermediate; default 21)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -53,6 +59,8 @@ def enable_compile_cache():
     tunnel in this image).  The image's sitecustomize imports jax before
     this file runs, so env vars are too late — use jax.config."""
     import jax
+    if env_int("FORA_BENCH_CPU", 0):   # debug: force the CPU backend
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data")) / "jaxcache"
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
@@ -60,16 +68,17 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-NLOG2 = env_int("FORA_BENCH_NLOG2", 19)
+NLOG2 = env_int("FORA_BENCH_NLOG2", 22)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
-BATCH = env_int("FORA_BENCH_BATCH", 512)
+BATCH = env_int("FORA_BENCH_BATCH", 256)
 QUERIES = env_int("FORA_BENCH_QUERIES", 512)
+POOL = env_int("FORA_BENCH_POOL", 256)
 DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "8"))
 ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
 K = env_int("FORA_BENCH_K", 50)
 EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))
-EVAL_N = env_int("FORA_BENCH_EVAL", 16)
-CPPQ = env_int("FORA_BENCH_CPPQ", 8)
+EVAL_N = env_int("FORA_BENCH_EVAL", 64)
+CPPQ = env_int("FORA_BENCH_CPPQ", 16)
 CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
 USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
@@ -207,36 +216,59 @@ def main():
                                   delta_stride=DSTRIDE, accept_slack=ACCEPT,
                                   gather_dtype=gdtype, gather_chunk=CHUNK)
     key = jax.random.key(SEED + 2)
-    src_batches = [jnp.asarray(sources[i:i + BATCH])
-                   for i in range(0, QUERIES, BATCH)
-                   if i + BATCH <= QUERIES]
+    pool_w = min(POOL, QUERIES)
+    n_q = (QUERIES // pool_w) * pool_w
+    pools = [sources[i:i + pool_w] for i in range(0, n_q, pool_w)]
 
     # warmup: compile all delta levels of the pool path once, at the FULL
     # pool width — the pool-state ops (init scatter, re-take, concat) are
-    # shaped by the total query count, so a smaller warmup pool leaves
-    # one-time compiles inside the timed run
+    # shaped by the pool size, so a smaller warmup pool leaves one-time
+    # compiles inside the timed run
     log("warmup/compile ...")
     t0 = time.time()
-    warm = runner.query_pool(np.concatenate(
-        [np.asarray(sb) for sb in src_batches]),
-        jax.random.fold_in(key, 999), batch=BATCH)
-    log(f"warmup done in {time.time()-t0:.1f}s "
-        f"(levels: {warm.levels_used})")
+    warm = runner.query_pool(pools[0], jax.random.fold_in(key, 999),
+                             batch=BATCH)
+    warmup_secs = time.time() - t0
+    log(f"warmup done in {warmup_secs:.1f}s (levels: {warm.levels_used})")
 
-    n_q = len(src_batches) * BATCH
-    pool = np.concatenate([np.asarray(sb) for sb in src_batches])
-    log(f"timing {n_q} queries (level-pipelined, batch {BATCH}) ...")
+    log(f"timing {n_q} queries (level-pipelined, batch {BATCH}, "
+        f"{len(pools)} pool(s) of {pool_w}) ...")
     t0 = time.time()
-    res = runner.query_pool(pool, jax.random.fold_in(key, 1), batch=BATCH)
+    results = {}
+    levels_used, n_accepted = 0, 0
+    for pi, pool in enumerate(pools):
+        res = runner.query_pool(pool, jax.random.fold_in(key, 1 + pi),
+                                batch=BATCH)
+        for i, s in enumerate(pool):
+            results[int(s)] = res.node_ids[i]
+        levels_used = max(levels_used, res.levels_used)
+        n_accepted += int(res.accepted.sum())
+        for st in getattr(runner, "last_level_stats", []):
+            log(f"  pool {pi} level {st['level']}: "
+                f"pending={st['pending']} batches={st['batches']} "
+                f"{st['secs']}s")
     elapsed = time.time() - t0
-    results = {int(s): res.node_ids[i] for i, s in enumerate(pool)}
     qps = n_q / elapsed
-    for st in getattr(runner, "last_level_stats", []):
-        log(f"  level {st['level']}: pending={st['pending']} "
-            f"batches={st['batches']} {st['secs']}s")
-    log(f"levels used (max): {res.levels_used}; "
-        f"accepted: {int(res.accepted.sum())}/{n_q}")
+    log(f"levels used (max): {levels_used}; "
+        f"accepted: {n_accepted}/{n_q}")
     log(f"ours: {n_q} queries in {elapsed:.2f}s -> {qps:.1f} q/s")
+
+    # roofline: one dense push superstep (gather + segment_sum over every
+    # in-edge at batch BATCH) vs the bytes-moved model and datasheet HBM BW
+    from fora_tpu.ops import push as push_ops
+    from fora_tpu.utils import profiling
+    m_eff = int(dg.in_src.shape[0])
+    step = jax.jit(functools.partial(
+        push_ops.forward_push_from, rmax=0.0, alpha=rcfg.alpha,
+        max_iters=1, max_chunk=CHUNK))
+    st0 = push_ops.init_state(
+        g.n, jnp.asarray(sources[:BATCH], jnp.int32))
+    step_secs = profiling.measure(lambda: step(dg, st0), reps=3, warmup=1)
+    roof = profiling.SpmvRoofline(edges=m_eff, batch=BATCH, nodes=g.n)
+    roof_eff = roof.efficiency(step_secs)
+    log(f"push superstep: {step_secs*1e3:.1f}ms for {m_eff} edges @ B={BATCH}"
+        f" -> {roof.bytes_moved/step_secs/1e9:.1f} GB/s eff"
+        f" = {roof_eff:.3f} of HBM speed-of-light")
 
     exact_ids = get_exact(g, sources)
     prec = metrics.batch_precision_at_k(
@@ -261,6 +293,11 @@ def main():
         "baseline_precision_at_k": cpp_prec,
         "k": K, "epsilon": EPS, "graph": TAG, "n": g.n, "m": g.m,
         "batch": BATCH, "queries": n_q, "indexed": bool(USE_INDEX),
+        "eval_queries": EVAL_N, "baseline_queries": CPPQ,
+        "warmup_secs": round(warmup_secs, 1),
+        "push_superstep_secs": round(step_secs, 4),
+        "push_roofline_efficiency": round(roof_eff, 4),
+        "push_effective_gbps": round(roof.bytes_moved / step_secs / 1e9, 1),
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(out), flush=True)
