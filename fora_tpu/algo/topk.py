@@ -84,6 +84,7 @@ class TopkRunner:
 
     LANE_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
     PROBE_EVERY = 8   # pools between one-level-shallower start probes
+    WIDTH_FLOOR = 128  # below this the shared row-gather stops amortizing
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig,
                  k: Optional[int] = None, max_lanes: int = 1 << 23,
@@ -122,6 +123,7 @@ class TopkRunner:
         self._pools_since_probe = 0
         self._fns = {}
         self._sfns = {}
+        self._lsteps = {}
         self._staged = None
         self._max_lanes = max_lanes
         self._index = index
@@ -202,6 +204,33 @@ class TopkRunner:
                     self.graph, self.rcfg, key)
         return self._sfns[key]
 
+    # --- pool-runner extension points (overridden by the sharded runner,
+    # fora_tpu/parallel/sharded.py ShardedTopkRunner) ---
+
+    def _init_pool_state(self, src_pad: jnp.ndarray):
+        """(p, r) state for a padded pool of sources: one-hot residue."""
+        n, C = self.rcfg.n, src_pad.shape[0]
+        p = jnp.zeros((n, C), jnp.float32)
+        r = jnp.zeros((n, C), jnp.float32).at[
+            src_pad, jnp.arange(C)].set(1.0)
+        return p, r
+
+    def _level_step(self, ckey: int):
+        """``(p, r, key, rmax, omega_unit) -> (vals, idx, lb, ub, bacc,
+        p', r')``: one refinement level resumed from (p, r), returning the
+        per-query top-k with confidence bounds and the advanced state."""
+        if ckey not in self._lsteps:
+            sfn = self._state_fn(ckey)
+
+            def fn(p, r, key, rmax, omega_unit):
+                res, p2, r2 = sfn(p, r, key, rmax, omega_unit)
+                vals, idx, lb, ub, _, _, bacc = self._accept(
+                    res.ppr, p2, omega_unit)
+                return vals, idx, lb, ub, bacc, p2, r2
+
+            self._lsteps[ckey] = fn
+        return self._lsteps[ckey]
+
     def query_pool(self, sources: np.ndarray, key: jax.Array,
                    batch: int, start_level: Optional[int] = None
                    ) -> TopkResult:
@@ -235,11 +264,8 @@ class TopkRunner:
             512) — one merged push step converges in 12 supersteps where
             stepping takes 8+9 (see delta_schedule).
         """
-        import math
-
         import time as _time
         sources = np.asarray(sources)
-        n = self.rcfg.n
         n_q = len(sources)
         self.last_level_stats = []   # [{level, delta, batches, pending, secs}]
         k, eps = self.k, self.rcfg.epsilon
@@ -253,7 +279,7 @@ class TopkRunner:
 
         def pick_width(n_pending: int) -> int:
             w = batch
-            while w // 2 >= max(n_pending, 1) and w // 2 >= 128:
+            while w // 2 >= max(n_pending, 1) and w // 2 >= self.WIDTH_FLOOR:
                 w //= 2
             return w
 
@@ -261,9 +287,7 @@ class TopkRunner:
         pad0 = (-n_q) % width
         cols = np.concatenate([pending, np.zeros(pad0, np.int64)])
         src_pad = jnp.asarray(sources[cols], jnp.int32)
-        p_state = jnp.zeros((n, len(cols)), jnp.float32)
-        r_state = jnp.zeros((n, len(cols)), jnp.float32).at[
-            src_pad, jnp.arange(len(cols))].set(1.0)
+        p_state, r_state = self._init_pool_state(src_pad)
 
         start = self.auto_start_level
         if start_level is None and start > 0 \
@@ -284,7 +308,7 @@ class TopkRunner:
             _t0 = _time.time()
             _n_pending = len(pending)
             ckey, rmax, omega_unit = self._levels[level]
-            fn = self._state_fn(ckey)
+            fn = self._level_step(ckey)
             last = level == len(self.deltas) - 1
             keep_cols = []
             n_ok = 0
@@ -297,11 +321,9 @@ class TopkRunner:
             for lo in range(0, p_state.shape[1], width):
                 pc = p_state[:, lo: lo + width]
                 rc = r_state[:, lo: lo + width]
-                res, pc, rc = fn(pc, rc,
-                                 jax.random.fold_in(key, level * 10007 + lo),
-                                 jnp.float32(rmax), jnp.float32(omega_unit))
-                vals, idx, lb, ub, _, _, bacc = self._accept(
-                    res.ppr, pc, jnp.float32(omega_unit))
+                vals, idx, lb, ub, bacc, pc, rc = fn(
+                    pc, rc, jax.random.fold_in(key, level * 10007 + lo),
+                    jnp.float32(rmax), jnp.float32(omega_unit))
                 inflight.append((lo, pc, rc, vals, idx, lb, ub, bacc))
             for lo, pc, rc, vals, idx, lb, ub, bacc in inflight:
                 vals, idx = np.asarray(vals), np.asarray(idx)

@@ -86,6 +86,27 @@ def partition_rows(g: CSRGraph, n_shards: int,
     )
 
 
+def needed_masks(pg: PartitionedGraph) -> np.ndarray:
+    """Routing metadata for the routed (all-to-all) frontier exchange.
+
+    Returns [G * G, n_loc] bool, laid out so that under a P('graph') spec
+    shard s sees rows [s*G, (s+1)*G) as its own [G, n_loc] block:
+    ``needed[s*G + t, i]`` = shard t has at least one in-edge whose source
+    is shard s's local row i — i.e. row i's push contribution must be
+    routed to t whenever it is active.  Rows never needed by anyone
+    (out-degree 0 into other shards) are never sent (SURVEY.md Sec. 2.3
+    EP row: residues destined for non-owned rows are exchanged owner-to-
+    owner, not broadcast)."""
+    G, n_loc = pg.n_shards, pg.n_loc
+    need = np.zeros((G, G, n_loc), dtype=bool)
+    for t in range(G):
+        src = pg.in_src_global[t * pg.m_loc:(t + 1) * pg.m_loc]
+        src = src[src < pg.n_pad].astype(np.int64)
+        s, i = np.divmod(src, n_loc)
+        need[s, t, i] = True
+    return need.reshape(G * G, n_loc)
+
+
 class PartitionedIndex(NamedTuple):
     """FORA+ multi-resolution index edges sharded by SOURCE row (residues
     are row-local; endpoint mass is psum_scattered back to owners).

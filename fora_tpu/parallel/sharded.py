@@ -5,17 +5,40 @@ Parallel decomposition (SURVEY.md Sec. 2.3):
   * 'query' axis — data parallelism over batched sources (embarrassingly
     parallel; replaces the reference's sequential batch loop).
   * 'graph' axis — rows (nodes) sharded; the push superstep is a local
-    gather + segment_sum over the shard's in-edges, preceded by an
-    all_gather of the per-row contribution vector over ICI (the frontier
-    exchange).  Walk lanes run shard-local from the shard's own residues
-    (so FORA+ index lookups never leave the shard — the Ulysses/EP-style
-    locality trick), and endpoint mass is combined with one
-    psum_scatter back to row owners.
+    gather + segment_sum over the shard's in-edges, preceded by a frontier
+    exchange of the per-row contribution vector over ICI.  Walk lanes run
+    shard-local from the shard's own residues (so FORA+ index lookups never
+    leave the shard — the Ulysses/EP-style locality trick), and endpoint
+    mass is combined with one psum_scatter back to row owners.
   * top-k — per-shard top-k of owned rows, then an all_gather of k
     candidates per shard and a final top-k of G*k (k is small).
 
-Collectives used: all_gather / psum_scatter / psum over 'graph' — all XLA
-collectives riding ICI; nothing crosses 'query'.
+Frontier exchange modes (``exchange=``), SURVEY.md Sec. 2.3 EP row /
+Sec. 7.3:
+
+  * ``dense``   — all_gather the full [n_loc, Bq] contribution block.
+  * ``compact`` — all_gather <= cap compacted (id, row) pairs: cheaper once
+    the frontier decays, but still a broadcast (every shard receives every
+    active row, needed or not).
+  * ``routed``  — the EP dispatch pattern: per-destination compaction
+    against a precomputed ``needed`` mask (which of my rows shard t's
+    in-edges reference), then a fixed-capacity ``jax.lax.all_to_all`` so
+    each active row travels only to shards that will gather it.
+  * ``ragged``  — same routing via ``jax.lax.ragged_all_to_all`` (true
+    variable-length segments, no per-pair padding on the wire).  XLA
+    implements ragged-all-to-all on TPU only (the CPU ThunkEmitter rejects
+    it), so this mode is untestable on the virtual CPU mesh — ``routed``
+    is the tested, semantically identical stand-in.
+
+All supersteps whose frontier exceeds the static capacity fall back to the
+dense exchange via a pmax-agreed lax.cond, so every shard takes the same
+collective.
+
+``ShardedTopkRunner`` (bottom) gives the sharded path refinement parity
+with the single-chip ``TopkRunner``: the same delta-halving pool loop
+(incremental push state, per-depth index slices, adaptive widths,
+threshold + confidence-bound acceptance) driving a shard_mapped level
+step.
 """
 
 from __future__ import annotations
@@ -27,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..algo.topk import TopkRunner
 from ..config import ResolvedConfig
 from ..graph.csr import CSRGraph, DeviceGraph
 from ..ops import walk as walk_ops
@@ -34,6 +58,8 @@ from . import partition as part
 from .mesh import GRAPH_AXIS, QUERY_AXIS, shard_map
 
 P = jax.sharding.PartitionSpec
+
+EXCHANGE_MODES = ("dense", "compact", "routed", "ragged")
 
 
 class ShardedTopkResult(NamedTuple):
@@ -43,13 +69,183 @@ class ShardedTopkResult(NamedTuple):
     walk_overflow: jnp.ndarray  # [B] bool
 
 
+# --------------------------------------------------------------------------
+# kernel building blocks (run inside shard_map; one shard's view)
+# --------------------------------------------------------------------------
+
+
+def _dense_all_gather(v, *, pallas_ring=False, pallas_interpret=False,
+                      n_graph_shards=1):
+    if pallas_ring:
+        from ..ops import ring as ring_ops
+        return ring_ops.ring_all_gather(v, GRAPH_AXIS, n_graph_shards,
+                                        interpret=pallas_interpret)
+    return jax.lax.all_gather(v, GRAPH_AXIS, axis=0, tiled=True)
+
+
+def _frontier_exchange(contrib, *, mode, needed, cap, n_loc, n_pad, G,
+                       pallas_ring=False, pallas_interpret=False):
+    """One frontier exchange: local [n_loc, Bq] contributions in, full
+    [n_pad, Bq] contribution vector out (see module docstring for modes)."""
+    dense = functools.partial(_dense_all_gather, pallas_ring=pallas_ring,
+                              pallas_interpret=pallas_interpret,
+                              n_graph_shards=G)
+    if mode == "dense" or cap <= 0:
+        return dense(contrib)
+
+    Bq = contrib.shape[1]
+    g_id = jax.lax.axis_index(GRAPH_AXIS)
+    row0 = g_id * n_loc
+    row_active = jnp.any(contrib != 0.0, axis=1)               # [n_loc]
+
+    if mode == "compact":
+        # broadcast compaction: <= cap (global id, row) pairs all-gathered
+        cnt = jnp.sum(row_active.astype(jnp.int32))
+        cnt_max = jax.lax.pmax(cnt, GRAPH_AXIS)
+
+        def compact(c):
+            idx = jnp.nonzero(row_active, size=cap, fill_value=n_loc)[0]
+            c_pad = jnp.concatenate(
+                [c, jnp.zeros((1, Bq), c.dtype)], axis=0)
+            vals = c_pad[idx]                                   # [cap, Bq]
+            gids = jnp.where(idx < n_loc, idx + row0, n_pad)    # pad slot
+            all_ids = jax.lax.all_gather(gids, GRAPH_AXIS, axis=0,
+                                         tiled=True)            # [G*cap]
+            all_vals = jax.lax.all_gather(vals, GRAPH_AXIS, axis=0,
+                                          tiled=True)           # [G*cap, Bq]
+            full = jnp.zeros((n_pad + 1, Bq), c.dtype)
+            full = full.at[all_ids].add(all_vals)
+            return full[:n_pad]
+
+        return jax.lax.cond(cnt_max <= cap, compact, dense, contrib)
+
+    # routed modes: per-destination compaction against the needed mask
+    act = jnp.logical_and(needed, row_active[None, :])          # [G, n_loc]
+    cnt = jnp.sum(act.astype(jnp.int32), axis=1)                # [G]
+    cnt_max = jax.lax.pmax(jnp.max(cnt), GRAPH_AXIS)
+
+    def routed(c):
+        idx = jax.vmap(
+            lambda a: jnp.nonzero(a, size=cap, fill_value=n_loc)[0])(act)
+        c_pad = jnp.concatenate([c, jnp.zeros((1, Bq), c.dtype)], axis=0)
+        send_vals = c_pad[idx]                                  # [G, cap, Bq]
+        send_ids = jnp.where(idx < n_loc, idx + row0,
+                             n_pad).astype(jnp.int32)           # [G, cap]
+        if mode == "ragged":
+            # true variable-length segments on the wire (TPU only)
+            sizes = cnt.astype(jnp.int32)
+            recv_sizes = jax.lax.all_to_all(
+                sizes.reshape(G, 1), GRAPH_AXIS, 0, 0).reshape(G)
+            in_off = (jnp.arange(G, dtype=jnp.int32) * cap)
+            out_off = jnp.full((G,), g_id * cap, jnp.int32)
+            ids_buf = jnp.full((G * cap,), n_pad, jnp.int32)
+            vals_buf = jnp.zeros((G * cap, Bq), c.dtype)
+            recv_ids = jax.lax.ragged_all_to_all(
+                send_ids.reshape(-1), ids_buf, in_off, sizes, out_off,
+                recv_sizes, axis_name=GRAPH_AXIS)
+            recv_vals = jax.lax.ragged_all_to_all(
+                send_vals.reshape(G * cap, Bq), vals_buf, in_off, sizes,
+                out_off, recv_sizes, axis_name=GRAPH_AXIS)
+        else:
+            recv_ids = jax.lax.all_to_all(
+                send_ids, GRAPH_AXIS, 0, 0).reshape(-1)
+            recv_vals = jax.lax.all_to_all(
+                send_vals, GRAPH_AXIS, 0, 0).reshape(G * cap, Bq)
+        full = jnp.zeros((n_pad + 1, Bq), c.dtype)
+        full = full.at[recv_ids.reshape(-1)].add(recv_vals)
+        return full[:n_pad]
+
+    return jax.lax.cond(cnt_max <= cap, routed, dense, contrib)
+
+
+def exchange_bytes_model(mode: str, *, n_loc: int, batch: int, G: int,
+                         cap: int = 0, active_rows=None) -> int:
+    """Bytes leaving ONE shard per superstep under each exchange mode
+    (f32 rows + i32 ids; capacity-padded for the static-shape modes).
+    ``active_rows``: per-destination actual counts (ragged mode's wire
+    volume); defaults to the worst case."""
+    row = batch * 4
+    if mode == "dense":
+        return (G - 1) * n_loc * row
+    if mode == "compact":
+        return (G - 1) * cap * (row + 4)
+    if mode == "routed":
+        return (G - 1) * cap * (row + 4)
+    if mode == "ragged":
+        a = (G - 1) * cap if active_rows is None else int(np.sum(active_rows))
+        return a * (row + 4)
+    raise ValueError(mode)
+
+
+def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
+               alpha, max_iters, n_loc, exchange_fn):
+    """Sharded push supersteps from (p0, r0) until r <= thr everywhere.
+    thr: [n_loc, 1] per-node termination threshold."""
+
+    def frontier_count(r):
+        return jax.lax.psum(jnp.sum((r > thr).astype(jnp.int32)),
+                            GRAPH_AXIS)
+
+    def cond(st):
+        p, r, it, flag = st
+        return jnp.logical_and(it < max_iters, flag > 0)
+
+    def body(st):
+        p, r, it, _ = st
+        active = r > thr
+        ar = jnp.where(active, r, 0.0)
+        p = p + jnp.where(dangling, ar, alpha * ar)
+        contrib = jnp.where(dangling, 0.0,
+                            (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
+        contrib_full = exchange_fn(contrib)                   # [n_pad, Bq]
+        vals = contrib_full[in_src]                           # [m_loc, Bq]
+        delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
+                                    indices_are_sorted=True)[:n_loc]
+        r = jnp.where(active, 0.0, r) + delta
+        return (p, r, it + 1, frontier_count(r))
+
+    p, r, iters, _ = jax.lax.while_loop(
+        cond, body, (p0, r0, jnp.zeros((), jnp.int32), frontier_count(r0)))
+    return p, r, iters
+
+
+def _indexed_contrib(r, idx_edge_src, idx_edge_dst, idx_edge_mult,
+                     counts_col, *, depth, bucket_offsets, has_mult, n_pad):
+    """Walk-phase endpoint mass: SpMV over the shard's depth-``depth``
+    index-edge slice.  Returns [n_pad, Bq] (to be psum_scattered)."""
+    from ..index.build import NUM_BUCKETS
+    Bq = r.shape[1]
+    inv_cnt = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
+    rw = r * inv_cnt[:, None]                                 # [n_loc, Bq]
+    rw_pad = jnp.concatenate([rw, jnp.zeros((1, Bq), rw.dtype)], axis=0)
+    contrib_all = jnp.zeros((n_pad + 1, Bq), jnp.float32)
+    for q in range(depth, NUM_BUCKETS):
+        lo = int(bucket_offsets[q])
+        hi = int(bucket_offsets[q + 1])
+        if hi == lo:
+            continue
+        vals = rw_pad[idx_edge_src[lo:hi]]                    # [E_q, Bq]
+        if has_mult:
+            vals = vals * idx_edge_mult[lo:hi][:, None]
+        contrib_all = contrib_all + jax.ops.segment_sum(
+            vals, idx_edge_dst[lo:hi], num_segments=n_pad + 1,
+            indices_are_sorted=True)
+    return contrib_all[:n_pad]
+
+
+# --------------------------------------------------------------------------
+# one-shot fused top-k kernel (ShardedForaEngine.topk)
+# --------------------------------------------------------------------------
+
+
 def _shard_fora_topk(
-    # dynamic args (order matters; see in_specs in make_sharded_topk_fn)
+    # dynamic args (order matters; see in_specs in ShardedForaEngine)
     sources,          # [Bq] i32, sharded over 'query'
     key,              # key, replicated
     in_src,           # [m_loc] i32 (global, padded-src=0)
     in_dst,           # [m_loc] i32 (local, pad=n_loc)
     deg_loc,          # [n_loc] i32
+    needed,           # [G, n_loc] bool routing mask (dummy unless routed)
     out_indptr,       # [n_pad+1] i32 replicated
     out_indices,      # [m] i32 replicated
     out_deg,          # [n_pad] i32 replicated
@@ -62,25 +258,13 @@ def _shard_fora_topk(
     use_index: bool, index_has_mult: bool = False, index_depth: int = 0,
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
-    ragged_cap: int = 0,
+    exchange: str = "dense", exchange_cap: int = 0,
 ):
-    from ..ops import ring as ring_ops
-
-    def frontier_all_gather(v):
-        if pallas_ring:
-            return ring_ops.ring_all_gather(v, GRAPH_AXIS, n_graph_shards,
-                                            interpret=pallas_interpret)
-        return jax.lax.all_gather(v, GRAPH_AXIS, axis=0, tiled=True)
-
-    def mass_reduce_scatter(v):
-        if pallas_ring:
-            return ring_ops.ring_reduce_scatter(v, GRAPH_AXIS, n_graph_shards,
-                                                interpret=pallas_interpret)
-        return jax.lax.psum_scatter(v, GRAPH_AXIS, scatter_dimension=0,
-                                    tiled=True)
+    G = n_graph_shards
     g_id = jax.lax.axis_index(GRAPH_AXIS)
     Bq = sources.shape[0]
     row0 = g_id * n_loc
+    n_pad_g = n_loc * G
 
     deg_f = deg_loc.astype(jnp.float32)[:, None]              # [n_loc, 1]
     dangling = deg_f == 0.0
@@ -88,7 +272,7 @@ def _shard_fora_topk(
     if use_index:
         # per-node coverage threshold (see ops/push.py forward_push_from):
         # the index supplies counts_cum[:, depth] samples per owned row, so
-        # push may stop at r_v <= count_v/omega_unit — never tighter than
+        # push may stop at r_v <= count_v/omega — never tighter than
         # rmax*deg_v, looser on the low-degree tail.
         thr = (idx_counts_cum[:, index_depth].astype(jnp.float32)
                / jnp.float32(rcfg.omega_unit))[:, None]
@@ -103,72 +287,13 @@ def _shard_fora_topk(
         jnp.where(own, 1.0, 0.0))
     p0 = jnp.zeros((n_loc, Bq), jnp.float32)
 
-    def frontier_count(r):
-        return jax.lax.psum(jnp.sum((r > thr).astype(jnp.int32)),
-                            GRAPH_AXIS)
-
-    def cond(st):
-        p, r, it, flag = st
-        return jnp.logical_and(it < rcfg.max_push_iters, flag > 0)
-
-    n_pad_g = n_loc * n_graph_shards
-
-    def ragged_frontier_exchange(contrib):
-        """SURVEY Sec. 2.3 EP-style residual routing, fixed-capacity form
-        (Sec. 7.3: "ragged_all_to_all or fixed-capacity buckets").
-
-        Once the frontier decays, most rows contribute nothing; instead of
-        all-gathering the dense [n_loc, Bq] block, compact the <= cap
-        active rows to (global id, value-row) pairs, exchange only those,
-        and scatter into the full buffer.  Comm bytes drop from
-        n_pad * Bq to G * cap * Bq.  Supersteps whose global per-shard
-        frontier exceeds cap fall back to the dense exchange; the branch
-        is chosen by a pmax so every shard takes the same collective.
-        """
-        row_active = jnp.any(contrib != 0.0, axis=1)           # [n_loc]
-        cnt = jnp.sum(row_active.astype(jnp.int32))
-        cnt_max = jax.lax.pmax(cnt, GRAPH_AXIS)
-
-        def ragged(c):
-            idx = jnp.nonzero(row_active, size=ragged_cap,
-                              fill_value=n_loc)[0]              # [cap]
-            c_pad = jnp.concatenate(
-                [c, jnp.zeros((1, c.shape[1]), c.dtype)], axis=0)
-            vals = c_pad[idx]                                   # [cap, Bq]
-            gids = jnp.where(idx < n_loc, idx + row0, n_pad_g)  # pad slot
-            all_ids = jax.lax.all_gather(gids, GRAPH_AXIS, axis=0,
-                                         tiled=True)            # [G*cap]
-            all_vals = jax.lax.all_gather(vals, GRAPH_AXIS, axis=0,
-                                          tiled=True)           # [G*cap, Bq]
-            full = jnp.zeros((n_pad_g + 1, c.shape[1]), c.dtype)
-            full = full.at[all_ids].add(all_vals,
-                                        indices_are_sorted=False,
-                                        unique_indices=False)
-            return full[:n_pad_g]
-
-        return jax.lax.cond(cnt_max <= ragged_cap, ragged,
-                            frontier_all_gather, contrib)
-
-    def body(st):
-        p, r, it, _ = st
-        active = r > thr
-        ar = jnp.where(active, r, 0.0)
-        p = p + jnp.where(dangling, ar, alpha * ar)
-        contrib = jnp.where(dangling, 0.0,
-                            (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
-        # frontier exchange: every shard needs contributions of all rows
-        if ragged_cap > 0:
-            contrib_full = ragged_frontier_exchange(contrib)   # [n_pad, Bq]
-        else:
-            contrib_full = frontier_all_gather(contrib)        # [n_pad, Bq]
-        vals = contrib_full[in_src]                            # [m_loc, Bq]
-        delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
-                                    indices_are_sorted=True)[:n_loc]
-        r = jnp.where(active, 0.0, r) + delta
-        return (p, r, it + 1, frontier_count(r))
-
-    p, r, iters, _ = jax.lax.while_loop(
-        cond, body, (p0, r0, jnp.zeros((), jnp.int32), frontier_count(r0)))
+    exchange_fn = functools.partial(
+        _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
+        n_loc=n_loc, n_pad=n_pad_g, G=G, pallas_ring=pallas_ring,
+        pallas_interpret=pallas_interpret)
+    p, r, iters = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
+                             alpha=alpha, max_iters=rcfg.max_push_iters,
+                             n_loc=n_loc, exchange_fn=exchange_fn)
 
     # --- walk phase: shard-local residues feed either the local slice of
     # the multi-resolution index (SpMV over index edges, endpoint mass
@@ -176,24 +301,11 @@ def _shard_fora_topk(
     n_pad = out_deg.shape[0]
     overflow = jnp.zeros((Bq,), bool)
     if use_index:
-        from ..index.build import NUM_BUCKETS
-        inv_cnt = 1.0 / jnp.maximum(
-            idx_counts_cum[:, index_depth], 1).astype(jnp.float32)
-        rw = r * inv_cnt[:, None]                           # [n_loc, Bq]
-        rw_pad = jnp.concatenate([rw, jnp.zeros((1, Bq), rw.dtype)], axis=0)
-        contrib_all = jnp.zeros((n_pad + 1, Bq), jnp.float32)
-        for q in range(index_depth, NUM_BUCKETS):
-            lo = int(index_bucket_offsets[q])
-            hi = int(index_bucket_offsets[q + 1])
-            if hi == lo:
-                continue
-            vals = rw_pad[idx_edge_src[lo:hi]]              # [E_q, Bq]
-            if index_has_mult:
-                vals = vals * idx_edge_mult[lo:hi][:, None]
-            contrib_all = contrib_all + jax.ops.segment_sum(
-                vals, idx_edge_dst[lo:hi], num_segments=n_pad + 1,
-                indices_are_sorted=True)
-        contrib_all = contrib_all[:n_pad]
+        contrib_all = _indexed_contrib(
+            r, idx_edge_src, idx_edge_dst, idx_edge_mult,
+            idx_counts_cum[:, index_depth], depth=index_depth,
+            bucket_offsets=index_bucket_offsets, has_mult=index_has_mult,
+            n_pad=n_pad)
     else:
         alloc = walk_ops.allocate_walks(r, rcfg.omega_unit, num_lanes_loc)
         walk_graph = DeviceGraph(out_indptr=out_indptr,
@@ -208,7 +320,13 @@ def _shard_fora_topk(
                                                     n_pad)  # [n_pad, Bq]
         overflow = alloc.overflow
 
-    walk_loc = mass_reduce_scatter(contrib_all)
+    if pallas_ring:
+        from ..ops import ring as ring_ops
+        walk_loc = ring_ops.ring_reduce_scatter(contrib_all, GRAPH_AXIS, G,
+                                                interpret=pallas_interpret)
+    else:
+        walk_loc = jax.lax.psum_scatter(contrib_all, GRAPH_AXIS,
+                                        scatter_dimension=0, tiled=True)
     ppr_loc = p + walk_loc                                    # [n_loc, Bq]
 
     # --- top-k merge: k local candidates -> all_gather -> global top-k ---
@@ -223,6 +341,156 @@ def _shard_fora_topk(
     return fvals, fids, iters, overflow
 
 
+# --------------------------------------------------------------------------
+# refinement level step (ShardedTopkRunner)
+# --------------------------------------------------------------------------
+
+
+def _shard_level_step(
+    p0,               # [n_loc, Bq] f32 — resumed push state
+    r0,               # [n_loc, Bq] f32
+    key,              # unused (indexed mode is deterministic)
+    rmax,             # [] f32 runtime scalar
+    omega_unit,       # [] f32 runtime scalar
+    in_src, in_dst, deg_loc, needed,
+    idx_edge_src, idx_edge_dst, idx_counts_cum, idx_edge_mult,
+    *, rcfg: ResolvedConfig, n_loc: int, k: int, index_depth: int,
+    index_bucket_offsets, index_has_mult: bool, n_graph_shards: int,
+    exchange: str, exchange_cap: int, t_bound: float,
+):
+    """One delta level of the sharded refinement pool: resume push from
+    (p0, r0) to the level's per-node coverage threshold, indexed walk
+    phase at the level's depth, global top-(k+1) merge, and the same
+    threshold/confidence-bound acceptance inputs the single-chip
+    ``TopkRunner._level_step`` produces (fora_tpu/algo/bounds.py)."""
+    from ..algo import bounds as bounds_mod
+
+    del key
+    G = n_graph_shards
+    g_id = jax.lax.axis_index(GRAPH_AXIS)
+    row0 = g_id * n_loc
+    n_pad = n_loc * G
+
+    deg_f = deg_loc.astype(jnp.float32)[:, None]
+    dangling = deg_f == 0.0
+    counts_col = idx_counts_cum[:, index_depth]
+    thr = (counts_col.astype(jnp.float32) / omega_unit)[:, None]
+
+    exchange_fn = functools.partial(
+        _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
+        n_loc=n_loc, n_pad=n_pad, G=G)
+    p, r, _ = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
+                         alpha=rcfg.alpha, max_iters=rcfg.max_push_iters,
+                         n_loc=n_loc, exchange_fn=exchange_fn)
+
+    contrib_all = _indexed_contrib(
+        r, idx_edge_src, idx_edge_dst, idx_edge_mult, counts_col,
+        depth=index_depth, bucket_offsets=index_bucket_offsets,
+        has_mult=index_has_mult, n_pad=n_pad)
+    walk_loc = jax.lax.psum_scatter(contrib_all, GRAPH_AXIS,
+                                    scatter_dimension=0, tiled=True)
+    ppr_loc = p + walk_loc                                    # [n_loc, Bq]
+
+    # --- global top-(k+1) with per-node settled mass, then the same
+    # Bernstein UB/LB acceptance math as bounds._topk_with_bounds ---
+    kk = k + 1
+    lv, li = jax.lax.top_k(ppr_loc.T, kk)                     # [Bq, kk]
+    lp = jnp.take_along_axis(p.T, li, axis=1)
+    gi = li + row0
+    cand_v = jax.lax.all_gather(lv, GRAPH_AXIS, axis=1, tiled=True)
+    cand_p = jax.lax.all_gather(lp, GRAPH_AXIS, axis=1, tiled=True)
+    cand_i = jax.lax.all_gather(gi, GRAPH_AXIS, axis=1, tiled=True)
+    vals, sel = jax.lax.top_k(cand_v, kk)                     # [Bq, kk]
+    idx = jnp.take_along_axis(cand_i, sel, axis=1)
+    p_at = jnp.take_along_axis(cand_p, sel, axis=1)
+
+    c = 1.0 / omega_unit
+    mu_hat = jnp.maximum(vals[:, :k] - p_at[:, :k], 0.0)
+    ub_mu = bounds_mod.bernstein_ub(mu_hat, c, t_bound)
+    lb = p_at[:, :k] + bounds_mod.bernstein_lb(mu_hat, c, t_bound, ub=ub_mu)
+    ub = p_at[:, :k] + ub_mu
+    lbk = jnp.min(lb, axis=1)
+    ub_excluded = bounds_mod.bernstein_ub(vals[:, k], c, t_bound)
+    bacc = lbk * (1.0 + rcfg.epsilon) >= ub_excluded
+    return vals[:, :k], idx[:, :k], lb, ub, bacc, p, r
+
+
+# --------------------------------------------------------------------------
+# host-side drivers
+# --------------------------------------------------------------------------
+
+
+def _resolve_exchange(exchange, ragged_exchange, pallas_ring):
+    if exchange is None:
+        exchange = "compact" if ragged_exchange else "dense"
+    if exchange not in EXCHANGE_MODES:
+        raise ValueError(f"exchange must be one of {EXCHANGE_MODES}")
+    if exchange != "dense" and pallas_ring:
+        raise ValueError("compact/routed exchanges use XLA collectives; "
+                         "not combinable with pallas_ring")
+    return exchange
+
+
+class _ShardedPlacement:
+    """Partitions graph (+ index) rows over the mesh's 'graph' axis and
+    places every per-shard array; shared by the one-shot engine and the
+    pool runner."""
+
+    def __init__(self, g: CSRGraph, mesh, index=None, *,
+                 exchange: str = "dense", exchange_capacity_frac: float = 0.125,
+                 with_walk_side: bool = True):
+        self.mesh = mesh
+        G = mesh.shape[GRAPH_AXIS]
+        self.G = G
+        pg = part.partition_rows(g, G)
+        self.pg = pg
+        self.exchange = exchange
+        self.exchange_cap = (
+            max(64, int(pg.n_loc * exchange_capacity_frac) // 8 * 8)
+            if exchange in ("compact", "routed", "ragged") else 0)
+
+        def put(x, spec):
+            return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+        self.gspec, self.rep = P(GRAPH_AXIS), P()
+        gspec = self.gspec
+        if exchange in ("routed", "ragged"):
+            needed = part.needed_masks(pg)                  # [G*G, n_loc]
+        else:
+            needed = np.zeros((G, 1), dtype=bool)           # dummy
+        self.push_args = [
+            put(pg.in_src_global, gspec), put(pg.in_dst_local, gspec),
+            put(pg.out_deg_sharded, gspec), put(needed, gspec),
+        ]
+        self.walk_args = ([put(pg.out_indptr, self.rep),
+                           put(pg.out_indices, self.rep),
+                           put(pg.out_deg, self.rep)]
+                          if with_walk_side else [])
+
+        self.use_index = index is not None
+        self.index_bucket_offsets = None
+        self.index_has_mult = False
+        if self.use_index:
+            pi = part.partition_index(index, G, pg.n_loc)
+            self.index_bucket_offsets = pi.bucket_local_offsets
+            self.index_has_mult = pi.edge_mult is not None
+            self.index_args = [put(pi.edge_src_local, gspec),
+                               put(pi.edge_dst, gspec),
+                               put(pi.counts_cum, gspec),
+                               put(pi.edge_mult if self.index_has_mult
+                                   else np.zeros(G, dtype=np.float32),
+                                   gspec)]
+        else:
+            dummy = np.zeros(G, dtype=np.int32)
+            self.index_args = [put(dummy, gspec)] * 2 + [
+                put(np.zeros((G, 1), dtype=np.int32), gspec),
+                put(np.zeros(G, dtype=np.float32), gspec)]
+
+    @property
+    def n_loc(self):
+        return self.pg.n_loc
+
+
 class ShardedForaEngine:
     """Holds device-placed sharded graph (+ index) and the jitted topk fn.
 
@@ -235,17 +503,18 @@ class ShardedForaEngine:
                  index=None, num_lanes: Optional[int] = None,
                  max_lanes: int = 1 << 23, lane_slack: float = 2.0,
                  pallas_ring: bool = False, pallas_interpret: bool = False,
+                 exchange: Optional[str] = None,
                  ragged_exchange: bool = False,
                  ragged_capacity_frac: float = 0.125):
-        if ragged_exchange and pallas_ring:
-            raise ValueError("ragged_exchange uses XLA all_gather; "
-                             "not combinable with pallas_ring")
+        exchange = _resolve_exchange(exchange, ragged_exchange, pallas_ring)
         self.mesh = mesh
         self.rcfg = rcfg
         self.k = k if k is not None else rcfg.k
         G = mesh.shape[GRAPH_AXIS]
-        pg = part.partition_rows(g, G)
-        self.pg = pg
+        data = _ShardedPlacement(
+            g, mesh, index, exchange=exchange,
+            exchange_capacity_frac=ragged_capacity_frac)
+        self.pg = data.pg
 
         if num_lanes is None:
             num_lanes = walk_ops.walk_lane_budget(
@@ -254,48 +523,24 @@ class ShardedForaEngine:
         self.num_lanes_loc = max(
             1024, int(num_lanes * lane_slack / G) // 1024 * 1024)
 
-        def put(x, spec):
-            return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
-
-        gspec, rep = P(GRAPH_AXIS), P()
-        self._args = [
-            put(pg.in_src_global, gspec), put(pg.in_dst_local, gspec),
-            put(pg.out_deg_sharded, gspec),
-            put(pg.out_indptr, rep), put(pg.out_indices, rep),
-            put(pg.out_deg, rep),
-        ]
         self.use_index = index is not None
-        index_depth = 0
-        bucket_offsets = None
-        index_has_mult = False
-        if self.use_index:
-            pi = part.partition_index(index, G, pg.n_loc)
-            index_depth = index.depth_for(rcfg.omega_unit, rcfg.rmax)
-            bucket_offsets = pi.bucket_local_offsets
-            index_has_mult = pi.edge_mult is not None
-            self._args += [put(pi.edge_src_local, gspec),
-                           put(pi.edge_dst, gspec),
-                           put(pi.counts_cum, gspec),
-                           put(pi.edge_mult if index_has_mult
-                               else np.zeros(G, dtype=np.float32), gspec)]
-        else:
-            dummy = np.zeros(G, dtype=np.int32)
-            self._args += [put(dummy, gspec)] * 2 + [
-                put(np.zeros((G, 1), dtype=np.int32), gspec),
-                put(np.zeros(G, dtype=np.float32), gspec)]
+        index_depth = (index.depth_for(rcfg.omega_unit, rcfg.rmax)
+                       if self.use_index else 0)
+        self._args = data.push_args + data.walk_args + data.index_args
 
         fn = functools.partial(
-            _shard_fora_topk, rcfg=rcfg, n_loc=pg.n_loc,
+            _shard_fora_topk, rcfg=rcfg, n_loc=data.n_loc,
             num_lanes_loc=self.num_lanes_loc, k=self.k,
-            use_index=self.use_index, index_has_mult=index_has_mult,
-            index_depth=index_depth,
-            index_bucket_offsets=bucket_offsets, pallas_ring=pallas_ring,
-            pallas_interpret=pallas_interpret, n_graph_shards=G,
-            ragged_cap=(max(64, int(pg.n_loc * ragged_capacity_frac)
-                            // 8 * 8) if ragged_exchange else 0))
+            use_index=self.use_index,
+            index_has_mult=data.index_has_mult, index_depth=index_depth,
+            index_bucket_offsets=data.index_bucket_offsets,
+            pallas_ring=pallas_ring, pallas_interpret=pallas_interpret,
+            n_graph_shards=G, exchange=exchange,
+            exchange_cap=data.exchange_cap)
+        gspec, rep = data.gspec, data.rep
         mapped = shard_map(
             fn, mesh,
-            in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec,
+            in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec, gspec,
                       rep, rep, rep, gspec, gspec, gspec, gspec),
             out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
         self._jitted = jax.jit(mapped)
@@ -307,3 +552,84 @@ class ShardedForaEngine:
         v, i, it, ov = self._jitted(sources, key, *self._args)
         return ShardedTopkResult(values=v, node_ids=i, push_iters=it,
                                  walk_overflow=ov)
+
+
+class ShardedTopkRunner(TopkRunner):
+    """Delta-halving refinement pool over the sharded engine.
+
+    Same host-side loop as the single-chip ``TopkRunner.query_pool``
+    (incremental push state, per-depth index slices, adaptive widths,
+    acceptance = threshold rule OR confidence-bound separation) — the
+    level step runs shard_mapped over the ('graph', 'query') mesh with
+    the push state row-sharded.  Requires a FORA+ index (the raw-walk
+    pool path stays single-chip; SURVEY.md Sec. 2.3).
+    """
+
+    def __init__(self, g: CSRGraph, mesh: jax.sharding.Mesh,
+                 rcfg: ResolvedConfig, index, *, k: Optional[int] = None,
+                 delta_stride: float = 2.0, accept_slack: float = 1.0,
+                 exchange: Optional[str] = None,
+                 exchange_capacity_frac: float = 0.125):
+        if index is None:
+            raise ValueError("ShardedTopkRunner requires a walk index")
+        exchange = _resolve_exchange(exchange, False, False)
+        super().__init__(None, rcfg, k=k, index=index,
+                         delta_stride=delta_stride,
+                         accept_slack=accept_slack)
+        self.mesh = mesh
+        self.G = mesh.shape[GRAPH_AXIS]
+        nq = mesh.shape[QUERY_AXIS]
+        self.WIDTH_FLOOR = max(128, nq)
+        self._data = _ShardedPlacement(
+            g, mesh, index, exchange=exchange,
+            exchange_capacity_frac=exchange_capacity_frac,
+            with_walk_side=False)
+        self._exchange = exchange
+        from ..algo import bounds as bounds_mod
+        self._t_bound = bounds_mod.union_bound_t(
+            rcfg.n, len(self.deltas), rcfg.pfail)
+        self._state_sharding = jax.sharding.NamedSharding(
+            mesh, P(GRAPH_AXIS, QUERY_AXIS))
+        self._shard_args = self._data.push_args + self._data.index_args
+
+    def _init_pool_state(self, src_pad):
+        n_pad, C = self.G * self._data.n_loc, src_pad.shape[0]
+        sh = self._state_sharding
+
+        @functools.partial(jax.jit, out_shardings=(sh, sh))
+        def init(src):
+            p = jnp.zeros((n_pad, C), jnp.float32)
+            r = jnp.zeros((n_pad, C), jnp.float32).at[
+                src, jnp.arange(C)].set(1.0)
+            return p, r
+
+        return init(src_pad)
+
+    def _level_step(self, ckey: int):
+        # ckey is the index depth (base __init__, index branch)
+        if ckey not in self._lsteps:
+            data = self._data
+            fn = functools.partial(
+                _shard_level_step, rcfg=self.rcfg, n_loc=data.n_loc,
+                k=self.k, index_depth=ckey,
+                index_bucket_offsets=data.index_bucket_offsets,
+                index_has_mult=data.index_has_mult,
+                n_graph_shards=self.G, exchange=self._exchange,
+                exchange_cap=data.exchange_cap, t_bound=self._t_bound)
+            gspec = data.gspec
+            st = P(GRAPH_AXIS, QUERY_AXIS)
+            q = P(QUERY_AXIS)
+            mapped = shard_map(
+                fn, self.mesh,
+                in_specs=(st, st, P(), P(), P(),
+                          gspec, gspec, gspec, gspec,
+                          gspec, gspec, gspec, gspec),
+                out_specs=(q, q, q, q, q, st, st))
+            jitted = jax.jit(mapped)
+            args = self._shard_args
+
+            def step(p, r, key, rmax, omega_unit):
+                return jitted(p, r, key, rmax, omega_unit, *args)
+
+            self._lsteps[ckey] = step
+        return self._lsteps[ckey]

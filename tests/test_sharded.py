@@ -11,8 +11,10 @@ from fora_tpu.algo import exact
 from fora_tpu.config import ForaConfig
 from fora_tpu.eval import metrics
 from fora_tpu.graph import generators, to_device
-from fora_tpu.parallel import (ShardedForaEngine, make_mesh, partition_rows,
-                               partition_index)
+from fora_tpu.parallel import (ShardedForaEngine, ShardedTopkRunner,
+                               exchange_bytes_model, make_mesh,
+                               partition_rows, partition_index)
+from fora_tpu.parallel.partition import needed_masks
 
 
 def _graph_and_cfg(n=300, m=3000, seed=21, eps=0.5):
@@ -124,6 +126,113 @@ def test_ragged_exchange_with_index():
                           for s in sources])
     assert metrics.batch_precision_at_k(np.asarray(res.node_ids),
                                         exact_ids) >= 0.85
+
+
+def test_needed_masks_routing_metadata():
+    """needed[s*G + t, i] iff shard t's in-edge list references shard s's
+    local row i (the precomputed EP routing mask for the routed exchange)."""
+    g, _ = _graph_and_cfg()
+    G = 4
+    pg = partition_rows(g, G)
+    need = needed_masks(pg).reshape(G, G, pg.n_loc)
+    for t in range(G):
+        src = pg.in_src_global[t * pg.m_loc:(t + 1) * pg.m_loc]
+        src = src[src < pg.n_pad]
+        want = np.zeros((G, pg.n_loc), dtype=bool)
+        s, i = np.divmod(src.astype(np.int64), pg.n_loc)
+        want[s, i] = True
+        assert np.array_equal(need[:, t, :], want), t
+
+
+def test_routed_exchange_matches_dense():
+    """The routed (all-to-all, owner-targeted) frontier exchange is a pure
+    comm-layout change: bit-identical results vs the dense all_gather path,
+    including capacity-overflow supersteps that fall back to dense."""
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(4, 2)
+    dense = ShardedForaEngine(g, mesh, rcfg, k=10)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    want = dense.topk(jnp.asarray(sources), jax.random.key(5))
+    for frac in (0.5, 0.02):   # ample capacity / mostly-fallback capacity
+        eng = ShardedForaEngine(g, mesh, rcfg, k=10, exchange="routed",
+                                ragged_capacity_frac=frac)
+        res = eng.topk(jnp.asarray(sources), jax.random.key(5))
+        assert np.array_equal(np.asarray(res.node_ids),
+                              np.asarray(want.node_ids)), frac
+        np.testing.assert_allclose(np.asarray(res.values),
+                                   np.asarray(want.values), rtol=1e-5)
+
+
+def test_routed_exchange_with_index():
+    g, rcfg = _graph_and_cfg()
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    mesh = make_mesh(4, 2)
+    dense = ShardedForaEngine(g, mesh, rcfg, k=10, index=idx)
+    routed = ShardedForaEngine(g, mesh, rcfg, k=10, index=idx,
+                               exchange="routed")
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    want = dense.topk(jnp.asarray(sources), jax.random.key(3))
+    res = routed.topk(jnp.asarray(sources), jax.random.key(3))
+    assert np.array_equal(np.asarray(res.node_ids),
+                          np.asarray(want.node_ids))
+
+
+def test_exchange_bytes_model_ordering():
+    """Routed wire volume beats the compact broadcast, which beats dense,
+    once the frontier is sparse (the point of SURVEY Sec. 2.3 EP routing —
+    the model backs scaling_test's bytes-per-superstep report)."""
+    kw = dict(n_loc=65536, batch=128, G=8)
+    dense = exchange_bytes_model("dense", **kw)
+    compact = exchange_bytes_model("compact", cap=1024, **kw)
+    routed = exchange_bytes_model("routed", cap=1024, **kw)
+    ragged = exchange_bytes_model("ragged", cap=1024,
+                                  active_rows=np.full(7, 100), **kw)
+    assert dense > compact
+    # routed pads per-destination but sends to G-1 peers like compact;
+    # ragged with sparse real counts undercuts everything
+    assert ragged < routed <= compact < dense
+
+
+def test_sharded_pool_matches_single_chip():
+    """Refinement parity (VERDICT round-1 item 3): the sharded delta-halving
+    pool runner returns the same accepted sets and node ids as the
+    single-chip TopkRunner on the same graph + index (indexed mode is
+    deterministic — the only differences are float reassociation in the
+    sharded segment sums)."""
+    from fora_tpu.algo.topk import TopkRunner
+    g, rcfg = _graph_and_cfg(n=400, m=4000)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(7))
+    single = TopkRunner(dg, rcfg, k=10, index=idx)
+    mesh = make_mesh(4, 2)
+    sharded = ShardedTopkRunner(g, mesh, rcfg, idx, k=10)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287, 311, 399])
+    key = jax.random.key(11)
+    want = single.query_pool(sources, key, batch=8)
+    got = sharded.query_pool(sources, key, batch=8)
+    assert np.array_equal(want.accepted, got.accepted)
+    assert np.array_equal(want.node_ids, got.node_ids)
+    np.testing.assert_allclose(want.values, got.values, rtol=1e-4)
+    # per-node guarantee statement survives the sharded path
+    np.testing.assert_allclose(want.lower_bounds, got.lower_bounds,
+                               rtol=1e-4)
+    assert np.all(got.lower_bounds <= got.values + 1e-7)
+    assert np.all(got.values <= got.upper_bounds + 1e-7)
+
+
+def test_sharded_pool_routed_exchange():
+    g, rcfg = _graph_and_cfg(n=400, m=4000)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(7))
+    mesh = make_mesh(4, 2)
+    dense = ShardedTopkRunner(g, mesh, rcfg, idx, k=10)
+    routed = ShardedTopkRunner(g, mesh, rcfg, idx, k=10, exchange="routed")
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    key = jax.random.key(11)
+    want = dense.query_pool(sources, key, batch=8)
+    got = routed.query_pool(sources, key, batch=8)
+    assert np.array_equal(want.node_ids, got.node_ids)
 
 
 def test_sharded_with_index():
