@@ -14,13 +14,17 @@ scale matches BASELINE.md config 3 (LiveJournal-class: 4.2M nodes, 67M
 edges).  Scale via env:
   FORA_BENCH_NLOG2   log2(nodes)          default 22   (4.2M nodes)
   FORA_BENCH_EDGEF   edges per node       default 16
-  FORA_BENCH_BATCH   max sources per batch, default 256 (straggler levels
+  FORA_BENCH_BATCH   max sources per batch, default 128 (straggler levels
                      re-batch narrower automatically, floor 128)
   FORA_BENCH_QUERIES total queries        default 512
-  FORA_BENCH_POOL    queries per resident pool, default 256 — the pool
+  FORA_BENCH_POOL    queries per resident pool, default 128 — the pool
                      runner keeps [n, pool] f32 push state (p and r) on
-                     device, so pool*n*8 bytes must fit HBM alongside the
-                     graph and index (4.2M nodes: pool 256 = 8.6 GB)
+                     device; a push superstep holds ~4 such [n, batch]
+                     buffers live (p, r, contrib, segment-sum acc), so at
+                     4.2M nodes batch 128 peaks ~8.6 GB + graph/index
+                     ~3 GB.  batch 256 at this scale exceeds v5e's 16 GB
+                     (measured OOM at 17.5 GB); at <=1M nodes pool 256 /
+                     batch 256 is the faster setting
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
   FORA_BENCH_EVAL    queries scored vs exact oracle, default 64
@@ -70,9 +74,9 @@ def enable_compile_cache():
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 22)
 EDGEF = env_int("FORA_BENCH_EDGEF", 16)
-BATCH = env_int("FORA_BENCH_BATCH", 256)
+BATCH = env_int("FORA_BENCH_BATCH", 128)
 QUERIES = env_int("FORA_BENCH_QUERIES", 512)
-POOL = env_int("FORA_BENCH_POOL", 256)
+POOL = env_int("FORA_BENCH_POOL", 128)
 DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "8"))
 ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
 K = env_int("FORA_BENCH_K", 50)

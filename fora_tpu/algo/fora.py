@@ -201,17 +201,25 @@ class StagedForaPrograms:
                  gather_dtype=None, gather_chunk: int = 1 << 23):
         from ..index import build as ib
         self.graph, self.rcfg, self.index = graph, rcfg, index
+        # Buffer DONATION throughout: the refinement pool's (p, r) state is
+        # [n, B] f32 per buffer — 2.1 GB each at LiveJournal scale (4.2M
+        # nodes, B=128).  Donating lets XLA alias the state arguments onto
+        # the outputs; without it the push program holds input AND output
+        # copies of the state and overflows v5e's 16 GB HBM.
         self._push = jax.jit(functools.partial(
             push_ops.forward_push_from, alpha=rcfg.alpha,
             max_iters=rcfg.max_push_iters, max_chunk=gather_chunk,
-            gather_dtype=gather_dtype))
+            gather_dtype=gather_dtype), donate_argnums=(1,))
 
-        def bucket_spmv(src, dst, mult, rw, contrib):
+        def bucket_spmv(src, dst, mult, r, inv_cnt, contrib):
+            # inv_cnt folded into the gather (src_w) so the weighted
+            # residue rw = r * inv_cnt is never materialized as a second
+            # [n, B] operand
             return contrib + push_ops.gather_segment_sum(
-                rw, src, dst, rcfg.n, max_chunk=gather_chunk,
-                gather_dtype=gather_dtype, edge_w=mult)
+                r, src, dst, rcfg.n, max_chunk=gather_chunk,
+                gather_dtype=gather_dtype, edge_w=mult, src_w=inv_cnt)
 
-        self._bucket = jax.jit(bucket_spmv)
+        self._bucket = jax.jit(bucket_spmv, donate_argnums=(5,))
         self._buckets = []          # [(src, dst, mult-or-None)] per bucket q
         for q in range(ib.NUM_BUCKETS):
             lo = int(index.bucket_offsets[q])
@@ -222,19 +230,20 @@ class StagedForaPrograms:
                 (index.edge_src[lo:hi], index.edge_dst[lo:hi], mult)
                 if hi > lo else None)
 
-        def weight_and_zero(r, counts_col):
-            inv = 1.0 / jnp.maximum(counts_col, 1).astype(jnp.float32)
-            return r * inv[:, None], jnp.zeros_like(r)
-
-        self._weight = jax.jit(weight_and_zero)
-
         def finish(p, contrib, r, iters):
             zero = jnp.zeros(r.shape[1], jnp.int32)
             return ForaResult(ppr=p + contrib, push_iters=iters,
                               rsum=jnp.sum(r, axis=0), walk_total=zero,
                               walk_overflow=zero.astype(bool))
 
-        self._finish = jax.jit(finish)
+        self._finish = jax.jit(finish, donate_argnums=(1,))
+        self._inv = {}              # per-depth 1/counts_col, cached
+
+    def _inv_cnt(self, depth: int):
+        if depth not in self._inv:
+            cc = jnp.asarray(self.index.counts_cum[:, depth])
+            self._inv[depth] = 1.0 / jnp.maximum(cc, 1).astype(jnp.float32)
+        return self._inv[depth]
 
     def state_fn(self, index_depth: int):
         from ..index import build as ib
@@ -248,18 +257,20 @@ class StagedForaPrograms:
             # rmax*deg_v and much looser on low-degree tail rows.
             counts_col = self.index.counts_cum[:, index_depth]
             thr = counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
+            # p0/r0 are DONATED — callers must not reuse them (query_pool
+            # rebinds its state blocks to the outputs)
             st = self._push(
                 self.graph,
                 push_ops.PushState(p=p0, r=r0,
                                    iters=jnp.zeros((), jnp.int32)),
                 rmax=jnp.float32(rmax), thr=thr)
-            rw, contrib = self._weight(
-                st.r, self.index.counts_cum[:, index_depth])
+            inv = self._inv_cnt(index_depth)
+            contrib = jnp.zeros_like(st.r)
             for q in range(index_depth, ib.NUM_BUCKETS):
                 if self._buckets[q] is None:
                     continue
                 src, dst, mult = self._buckets[q]
-                contrib = self._bucket(src, dst, mult, rw, contrib)
+                contrib = self._bucket(src, dst, mult, st.r, inv, contrib)
             return self._finish(st.p, contrib, st.r, st.iters), st.p, st.r
 
         return fn

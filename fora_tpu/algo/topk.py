@@ -208,7 +208,10 @@ class TopkRunner:
     # fora_tpu/parallel/sharded.py ShardedTopkRunner) ---
 
     def _init_pool_state(self, src_pad: jnp.ndarray):
-        """(p, r) state for a padded pool of sources: one-hot residue."""
+        """(p, r) state for one width-wide block of sources: one-hot
+        residue.  Pool state lives as a LIST of such column blocks (not one
+        concatenated buffer) so each level step can DONATE its block's
+        buffers — see query_pool."""
         n, C = self.rcfg.n, src_pad.shape[0]
         p = jnp.zeros((n, C), jnp.float32)
         r = jnp.zeros((n, C), jnp.float32).at[
@@ -283,11 +286,17 @@ class TopkRunner:
                 w //= 2
             return w
 
+        # pool state = list of [n, width] column blocks.  Block-granular
+        # state (instead of one [n, pool] buffer) keeps the level step
+        # donation-safe: each step consumes exactly one block's buffers and
+        # the slot is rebound to the outputs, so XLA aliases state-in onto
+        # state-out and peak HBM is one block's working set, not two.
         width = pick_width(n_q)
         pad0 = (-n_q) % width
         cols = np.concatenate([pending, np.zeros(pad0, np.int64)])
-        src_pad = jnp.asarray(sources[cols], jnp.int32)
-        p_state, r_state = self._init_pool_state(src_pad)
+        blocks = [self._init_pool_state(
+            jnp.asarray(sources[cols[lo: lo + width]], jnp.int32))
+            for lo in range(0, len(cols), width)]
 
         start = self.auto_start_level
         if start_level is None and start > 0 \
@@ -313,19 +322,20 @@ class TopkRunner:
             keep_cols = []
             n_ok = 0
             n_ok_bound = 0   # accepted by the bound test alone
-            new_p, new_r = [], []
             # dispatch every batch of the level before the first host sync:
             # jax dispatch is async, so batch i+1's push overlaps batch i's
-            # walk/top-k and the host-side acceptance bookkeeping
+            # walk/top-k and the host-side acceptance bookkeeping.  fn
+            # DONATES each block's buffers; the slot is rebound to the
+            # outputs immediately, so no stale reference survives.
             inflight = []
-            for lo in range(0, p_state.shape[1], width):
-                pc = p_state[:, lo: lo + width]
-                rc = r_state[:, lo: lo + width]
+            for bi, (pc, rc) in enumerate(blocks):
+                lo = bi * width
                 vals, idx, lb, ub, bacc, pc, rc = fn(
                     pc, rc, jax.random.fold_in(key, level * 10007 + lo),
                     jnp.float32(rmax), jnp.float32(omega_unit))
-                inflight.append((lo, pc, rc, vals, idx, lb, ub, bacc))
-            for lo, pc, rc, vals, idx, lb, ub, bacc in inflight:
+                blocks[bi] = (pc, rc)
+                inflight.append((lo, vals, idx, lb, ub, bacc))
+            for lo, vals, idx, lb, ub, bacc in inflight:
                 vals, idx = np.asarray(vals), np.asarray(idx)
                 lb, ub = np.asarray(lb), np.asarray(ub)
                 bacc = np.asarray(bacc)
@@ -347,11 +357,9 @@ class TopkRunner:
                         accepted[q] = ok
                     else:
                         keep_cols.append(g)
-                new_p.append(pc)
-                new_r.append(rc)
             self.last_level_stats.append(dict(
                 level=level, delta=d, width=width,
-                batches=-(-p_state.shape[1] // width),
+                batches=len(blocks),
                 pending=_n_pending, accepted=n_ok,
                 accepted_bound_only=n_ok_bound,
                 secs=round(_time.time() - _t0, 3)))
@@ -360,14 +368,11 @@ class TopkRunner:
                 break
             keep = np.asarray(keep_cols)
             pending = pending[keep]
-            width = pick_width(len(keep))
-            p_all = jnp.concatenate(new_p, axis=1)
-            r_all = jnp.concatenate(new_r, axis=1)
-            take = jnp.asarray(
-                np.concatenate([keep,
-                                np.repeat(keep[-1:], (-len(keep)) % width)]))
-            p_state = jnp.take(p_all, take, axis=1)
-            r_state = jnp.take(r_all, take, axis=1)
+            new_width = pick_width(len(keep))
+            take = np.concatenate(
+                [keep, np.repeat(keep[-1:], (-len(keep)) % new_width)])
+            blocks = self._reblock(blocks, width, take, new_width)
+            width = new_width
 
         if start_level is None:
             self._update_start_level(n_q)
@@ -375,6 +380,31 @@ class TopkRunner:
         return TopkResult(node_ids=out_ids, values=out_vals,
                           levels_used=max_level, accepted=accepted,
                           lower_bounds=out_lb, upper_bounds=out_ub)
+
+    @staticmethod
+    def _reblock(blocks, width, take, new_width):
+        """Regroup the surviving pool columns into [n, new_width] blocks.
+
+        ``take``: sorted positions (old layout: block bi holds columns
+        [bi*width, (bi+1)*width)), padded to a multiple of new_width by
+        repeating the last survivor.  Old blocks are released as their
+        columns are extracted; peak extra memory is the survivor set only.
+        """
+        pieces_p, pieces_r = [], []
+        for bi in range(len(blocks)):
+            pc, rc = blocks[bi]
+            sel = take[(take >= bi * width) & (take < (bi + 1) * width)]
+            if len(sel):
+                sel = jnp.asarray(sel - bi * width)
+                pieces_p.append(jnp.take(pc, sel, axis=1))
+                pieces_r.append(jnp.take(rc, sel, axis=1))
+            blocks[bi] = None   # release the old block's buffers
+        p_all = (pieces_p[0] if len(pieces_p) == 1
+                 else jnp.concatenate(pieces_p, axis=1))
+        r_all = (pieces_r[0] if len(pieces_r) == 1
+                 else jnp.concatenate(pieces_r, axis=1))
+        return [(p_all[:, lo: lo + new_width], r_all[:, lo: lo + new_width])
+                for lo in range(0, p_all.shape[1], new_width)]
 
     def _update_start_level(self, n_total: int) -> None:
         """Measured cost model for the next pool's start level.

@@ -51,7 +51,8 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
                        dst: jnp.ndarray, n: int,
                        max_chunk: int = 1 << 23,
                        gather_dtype=None,
-                       edge_w: jnp.ndarray = None) -> jnp.ndarray:
+                       edge_w: jnp.ndarray = None,
+                       src_w: jnp.ndarray = None) -> jnp.ndarray:
     """out[t] += sum over edges e with dst[e]==t of values[src[e]].
 
     The [E, B] gathered intermediate is materialized by XLA; for large
@@ -70,27 +71,34 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     gathered rows (the FORA+ index's duplicate-merge multiplicity) — an
     elementwise VPU op on the already-materialized intermediate, cheap
     next to the gather it shrinks.
+
+    ``src_w`` ([n] f32, optional): per-SOURCE-row multiplier, gathered
+    alongside the rows ([chunk] f32 — 4 extra bytes per edge).  Folding a
+    row scaling in here instead of pre-scaling ``values`` avoids
+    materializing a second [n, B] operand — at LiveJournal scale (4.2M
+    nodes, B=128) that buffer is 2.1 GB of HBM the refinement loop can't
+    spare (see StagedForaPrograms).
     """
     E = src.shape[0]
-    B = values.shape[1]
     out_dtype = values.dtype
     if gather_dtype is not None:
         values = values.astype(gather_dtype)
     if E <= max_chunk:
         vals = values[src].astype(out_dtype)
+        if src_w is not None:
+            vals = vals * src_w[src][:, None]
         if edge_w is not None:
             vals = vals * edge_w[:, None]
         return jax.ops.segment_sum(vals, dst, num_segments=n,
                                    indices_are_sorted=True)
     n_chunks = -(-E // max_chunk)
     pad = n_chunks * max_chunk - E
-    # pad with a zero-contribution self-edge (src points at a zero row we
-    # add; dst points at dropped segment n)
-    values_pad = jnp.concatenate(
-        [values, jnp.zeros((1, B), values.dtype)], axis=0)
+    # pad entries: src 0 (any valid row — the gathered value lands in
+    # dropped segment n, so no [n+1, B] zero-padded copy of ``values`` is
+    # ever materialized; that copy was a 2-4 GB buffer + one full-state
+    # memcpy per superstep at LiveJournal scale)
     src_p = jnp.concatenate(
-        [src, jnp.full((pad,), values.shape[0], src.dtype)]).reshape(
-        n_chunks, max_chunk)
+        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
     dst_p = jnp.concatenate(
         [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
     w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
@@ -98,14 +106,16 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
 
     def body(acc, chunk):
         s, d, w = chunk
-        vals = values_pad[s].astype(out_dtype)
+        vals = values[s].astype(out_dtype)
+        if src_w is not None:
+            vals = vals * src_w[s][:, None]
         if w is not None:
             vals = vals * w[:, None]
         acc = acc + jax.ops.segment_sum(vals, d, num_segments=n + 1,
                                         indices_are_sorted=True)
         return acc, None
 
-    acc0 = jnp.zeros((n + 1, B), out_dtype)
+    acc0 = jnp.zeros((n + 1, values.shape[1]), out_dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p, w_p))
     return acc[:n]
 

@@ -625,7 +625,10 @@ class ShardedTopkRunner(TopkRunner):
                           gspec, gspec, gspec, gspec,
                           gspec, gspec, gspec, gspec),
                 out_specs=(q, q, q, q, q, st, st))
-            jitted = jax.jit(mapped)
+            # donate the row-sharded (p, r) block — query_pool rebinds the
+            # block slot to the outputs, so aliasing state-in onto
+            # state-out is safe and halves per-level state HBM
+            jitted = jax.jit(mapped, donate_argnums=(0, 1))
             args = self._shard_args
 
             def step(p, r, key, rmax, omega_unit):
