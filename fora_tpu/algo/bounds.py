@@ -87,12 +87,15 @@ def _topk_with_bounds(ppr, p, omega_unit, *, k: int, t: float, eps: float):
       ub_excluded    [B]     upper bound on every non-returned node
       bound_accept   [B]     separation test at this level's (eps, t)
     """
+    from ..ops.topk import topk_rows_chunked
     n, B = ppr.shape
     kk = min(k + 1, n)
     c = 1.0 / omega_unit
-    vals, idx = jax.lax.top_k(ppr.T, kk)                    # [B, kk]
+    # node-chunked top-k + p gather: never builds the [B, n] transposes
+    # (2 GB each at 4.2M nodes x B=128 — a measured v5e OOM)
+    vals, idx, p_all = topk_rows_chunked(ppr, kk, p)        # [B, kk]
     vals_k, idx_k = vals[:, :k], idx[:, :k]
-    p_at = jnp.take_along_axis(p.T, idx_k, axis=1)
+    p_at = p_all[:, :k]
     mu_hat = jnp.maximum(vals_k - p_at, 0.0)
     ub_mu = bernstein_ub(mu_hat, c, t)
     lb = p_at + bernstein_lb(mu_hat, c, t, ub=ub_mu)

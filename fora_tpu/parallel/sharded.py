@@ -330,7 +330,8 @@ def _shard_fora_topk(
     ppr_loc = p + walk_loc                                    # [n_loc, Bq]
 
     # --- top-k merge: k local candidates -> all_gather -> global top-k ---
-    lvals, lids = jax.lax.top_k(ppr_loc.T, k)                 # [Bq, k]
+    from ..ops.topk import topk_rows_chunked
+    lvals, lids = topk_rows_chunked(ppr_loc, k)               # [Bq, k]
     gids = lids + row0
     cand_v = jax.lax.all_gather(lvals, GRAPH_AXIS, axis=1, tiled=True)
     cand_i = jax.lax.all_gather(gids, GRAPH_AXIS, axis=1, tiled=True)
@@ -393,9 +394,9 @@ def _shard_level_step(
 
     # --- global top-(k+1) with per-node settled mass, then the same
     # Bernstein UB/LB acceptance math as bounds._topk_with_bounds ---
+    from ..ops.topk import topk_rows_chunked
     kk = k + 1
-    lv, li = jax.lax.top_k(ppr_loc.T, kk)                     # [Bq, kk]
-    lp = jnp.take_along_axis(p.T, li, axis=1)
+    lv, li, lp = topk_rows_chunked(ppr_loc, kk, p)            # [Bq, kk]
     gi = li + row0
     cand_v = jax.lax.all_gather(lv, GRAPH_AXIS, axis=1, tiled=True)
     cand_p = jax.lax.all_gather(lp, GRAPH_AXIS, axis=1, tiled=True)

@@ -117,3 +117,25 @@ def test_pool_bounds_contain_exact(use_index):
         ex_ids = np.argsort(-pi, kind="stable")[:5]
         prec.append(metrics.precision_at_k(ids, ex_ids))
     assert float(np.mean(prec)) >= 0.9
+
+
+def test_topk_rows_chunked_matches_dense():
+    """The node-chunked top-k (the HBM-safe path at LiveJournal scale)
+    matches lax.top_k exactly, including the extra-array gather and ties
+    split across slab boundaries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fora_tpu.ops.topk import topk_rows_chunked
+
+    rng = np.random.default_rng(0)
+    n, B, k = 1000, 7, 12
+    ppr = jnp.asarray(rng.random((n, B)), jnp.float32)
+    p = jnp.asarray(rng.random((n, B)), jnp.float32)
+    want_v, want_i = jax.lax.top_k(ppr.T, k)
+    want_p = jnp.take_along_axis(p.T, want_i, axis=1)
+    for chunk in (64, 300, 1000, 4096):   # multi-slab, ragged tail, dense
+        v, i, pa = topk_rows_chunked(ppr, k, p, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(want_v)), chunk
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i)), chunk
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(want_p)), chunk
