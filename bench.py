@@ -102,12 +102,13 @@ def get_graph():
     f = CACHE / f"{TAG}.npz"
     if f.exists():
         z = np.load(f)
-        return CSRGraph(**{k: z[k] for k in CSRGraph._fields})
+        return CSRGraph(**{k: z[k] for k in CSRGraph._fields
+                           if k in z.files})
     log(f"generating RMAT n=2^{NLOG2}, m={EDGEF}*n ...")
     t0 = time.time()
     g = generators.rmat(NLOG2, (1 << NLOG2) * EDGEF, seed=SEED)
     CACHE.mkdir(parents=True, exist_ok=True)
-    np.savez(f, **g._asdict())
+    np.savez(f, **{k: v for k, v in g._asdict().items() if v is not None})
     log(f"generated in {time.time()-t0:.1f}s")
     return g
 
@@ -233,7 +234,11 @@ def main():
     warm = runner.query_pool(pools[0], jax.random.fold_in(key, 999),
                              batch=BATCH)
     warmup_secs = time.time() - t0
-    log(f"warmup done in {warmup_secs:.1f}s (levels: {warm.levels_used})")
+    log(f"warmup done in {warmup_secs:.1f}s (levels: {warm.levels_used}, "
+        f"next start level: {runner.auto_start_level})")
+    for st in getattr(runner, "last_level_stats", []):
+        log(f"  warmup level {st['level']}: pending={st['pending']} "
+            f"accepted={st['accepted']} {st['secs']}s")
 
     log(f"timing {n_q} queries (level-pipelined, batch {BATCH}, "
         f"{len(pools)} pool(s) of {pool_w}) ...")

@@ -42,6 +42,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
     ]
+    if hasattr(lib, "fora_parse_edges_w"):   # older .so: rebuild on demand
+        lib.fora_parse_edges_w.restype = ctypes.c_int64
+        lib.fora_parse_edges_w.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+    if hasattr(lib, "fora_build_alias"):
+        lib.fora_build_alias.restype = ctypes.c_int64
+        lib.fora_build_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return lib
 
@@ -66,5 +85,62 @@ def _native_parse_edges(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return src[:got], dst[:got]
 
 
-# Public symbol: None when the native path cannot be used at all.
+def _native_parse_edges_w(path: str
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Weighted (3-column) variant; missing third columns read as 1.0."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    count = lib.fora_count_edges(path.encode())
+    if count < 0:
+        raise IOError(f"cannot read {path}")
+    src = np.empty(count, dtype=np.int64)
+    dst = np.empty(count, dtype=np.int64)
+    w = np.empty(count, dtype=np.float32)
+    got = lib.fora_parse_edges_w(
+        path.encode(),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        count,
+    )
+    if got < 0:
+        raise IOError(f"parse failed for {path} (rc={got})")
+    return src[:got], dst[:got], w[:got]
+
+
+def _native_build_alias(indptr: np.ndarray, cols: np.ndarray,
+                        w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Walker alias tables over a CSR partition (per-slot prob/other)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    m = len(cols)
+    prob = np.ones(m, dtype=np.float32)
+    other = cols.copy()
+    rc = lib.fora_build_alias(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(indptr) - 1,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        other.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"alias build failed (rc={rc})")
+    return prob, other
+
+
+# Public symbols: None when the native path cannot be used at all.
 native_parse_edges = _native_parse_edges if _load() is not None else None
+native_parse_edges_w = (
+    _native_parse_edges_w
+    if _load() is not None and hasattr(_load(), "fora_parse_edges_w")
+    else None)
+native_build_alias = (
+    _native_build_alias
+    if _load() is not None and hasattr(_load(), "fora_build_alias")
+    else None)

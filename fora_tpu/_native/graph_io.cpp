@@ -99,6 +99,75 @@ int64_t scan_pairs(const Mapped& m, OnPair&& on_pair) {
   return count;
 }
 
+// Scan "src dst weight" triples (weight: decimal float).  Lines with only
+// two numbers get weight 1.0 (mixed files behave like the reference's
+// verbatim read); comment lines skipped as in scan_pairs.
+template <typename OnTriple>
+int64_t scan_triples(const Mapped& m, OnTriple&& on_triple) {
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  int64_t count = 0;
+  while (p < end) {
+    if (*p == '#' || *p == '%') {
+      while (p < end && *p != '\n') ++p;
+      if (p < end) ++p;
+      continue;
+    }
+    int64_t vals[2];
+    double w = 1.0;
+    int got = 0;
+    while (p < end && *p != '\n' && got < 3) {
+      while (p < end && *p != '\n' &&
+             (*p < '0' || *p > '9') && *p != '-' && *p != '.') ++p;
+      if (p >= end || *p == '\n') break;
+      bool neg = (*p == '-');
+      if (neg) ++p;
+      double v = 0.0;
+      bool any = false;
+      while (p < end && *p >= '0' && *p <= '9') {
+        v = v * 10.0 + (*p - '0');
+        ++p;
+        any = true;
+      }
+      if (p < end && *p == '.') {
+        ++p;
+        double place = 0.1;
+        while (p < end && *p >= '0' && *p <= '9') {
+          v += (*p - '0') * place;
+          place *= 0.1;
+          ++p;
+          any = true;
+        }
+      }
+      if (p < end && (*p == 'e' || *p == 'E')) {  // exponent
+        ++p;
+        bool eneg = false;
+        if (p < end && (*p == '-' || *p == '+')) eneg = (*p++ == '-');
+        int ev = 0;
+        while (p < end && *p >= '0' && *p <= '9') ev = ev * 10 + (*p++ - '0');
+        double f = 1.0;
+        for (int i = 0; i < ev; ++i) f *= 10.0;
+        v = eneg ? v / f : v * f;
+      }
+      if (any) {
+        if (got < 2) {
+          vals[got] = static_cast<int64_t>(neg ? -v : v);
+        } else {
+          w = neg ? -v : v;
+        }
+        ++got;
+      }
+    }
+    if (got >= 2) {
+      on_triple(vals[0], vals[1], got >= 3 ? w : 1.0, count);
+      ++count;
+    }
+    while (p < end && *p != '\n') ++p;
+    if (p < end) ++p;
+  }
+  return count;
+}
+
 }  // namespace
 
 extern "C" {
@@ -126,6 +195,85 @@ int64_t fora_parse_edges(const char* path, int64_t* src, int64_t* dst,
     }
     src[i] = a;
     dst[i] = b;
+  });
+  unmap(m);
+  if (overflow) return -2;
+  return c;
+}
+
+// Walker/Vose alias-table construction over a CSR row partition: for each
+// row [indptr[v], indptr[v+1]) build per-slot (prob, other) such that
+// sampling slot j uniformly then taking cols[j] w.p. prob[j] (else
+// other[j]) draws cols proportionally to w.  O(m) total, no allocation
+// beyond two index stacks reused across rows.  Mirrors the Python
+// fora_tpu/graph/alias.py build (bit-compatible up to float rounding);
+// the hot path for weighted-graph ingest at LiveJournal scale.
+int64_t fora_build_alias(const int64_t* indptr, const int32_t* cols,
+                         const float* w, int64_t n,
+                         float* prob, int32_t* other) {
+  int64_t max_deg = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t d = indptr[v + 1] - indptr[v];
+    if (d > max_deg) max_deg = d;
+  }
+  int64_t* small = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(max_deg > 0 ? max_deg : 1)));
+  int64_t* large = static_cast<int64_t*>(
+      malloc(sizeof(int64_t) * static_cast<size_t>(max_deg > 0 ? max_deg : 1)));
+  double* p = static_cast<double*>(
+      malloc(sizeof(double) * static_cast<size_t>(max_deg > 0 ? max_deg : 1)));
+  if (!small || !large || !p) {
+    free(small);
+    free(large);
+    free(p);
+    return -1;
+  }
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    int64_t d = hi - lo;
+    if (d == 0) continue;
+    double sum = 0.0;
+    for (int64_t i = 0; i < d; ++i) sum += w[lo + i];
+    int64_t ns = 0, nl = 0;
+    for (int64_t i = 0; i < d; ++i) {
+      p[i] = w[lo + i] / sum * static_cast<double>(d);
+      prob[lo + i] = 1.0f;
+      other[lo + i] = cols[lo + i];
+      if (p[i] < 1.0) small[ns++] = i;
+      else large[nl++] = i;
+    }
+    while (ns > 0 && nl > 0) {
+      int64_t s = small[--ns];
+      int64_t l = large[--nl];
+      prob[lo + s] = static_cast<float>(p[s]);
+      other[lo + s] = cols[lo + l];
+      p[l] = (p[l] + p[s]) - 1.0;
+      if (p[l] < 1.0) small[ns++] = l;
+      else large[nl++] = l;
+    }
+    // leftovers (incl. float-rounding stragglers) keep prob 1 / self
+  }
+  free(small);
+  free(large);
+  free(p);
+  return 0;
+}
+
+// Weighted variant: fills src/dst/w (third column; absent -> 1.0).
+int64_t fora_parse_edges_w(const char* path, int64_t* src, int64_t* dst,
+                           float* w, int64_t cap) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  bool overflow = false;
+  int64_t c = scan_triples(m, [&](int64_t a, int64_t b, double wt,
+                                  int64_t i) {
+    if (i >= cap) {
+      overflow = true;
+      return;
+    }
+    src[i] = a;
+    dst[i] = b;
+    w[i] = static_cast<float>(wt);
   });
   unmap(m);
   if (overflow) return -2;

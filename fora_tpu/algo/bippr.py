@@ -44,10 +44,15 @@ def backward_push(graph: DeviceGraph, targets: jnp.ndarray, *, rmax_b: float,
     n = graph.n
     T = targets.shape[0]
     deg = graph.out_deg.astype(jnp.float32)          # [n]
-    # per-edge inverse out-degree of the *source* endpoint, out-CSR order
+    # per-edge back-propagation factor, out-CSR order: w(u,v)/W(u) on
+    # weighted graphs, 1/dout(u) otherwise
     src_of_edge = jnp.repeat(jnp.arange(n), graph.out_deg, axis=0,
                              total_repeat_length=graph.m)
-    inv_deg_edge = 1.0 / jnp.maximum(deg[src_of_edge], 1.0)  # [m]
+    if graph.weighted:
+        inv_deg_edge = graph.out_w / jnp.maximum(
+            graph.out_wsum[src_of_edge], 1e-30)              # [m]
+    else:
+        inv_deg_edge = 1.0 / jnp.maximum(deg[src_of_edge], 1.0)  # [m]
 
     dangling = (deg == 0.0)[:, None]                  # [n, 1]
 

@@ -28,14 +28,20 @@ from ..graph.csr import CSRGraph
 
 def exact_ppr_dense(g: CSRGraph, source: int, alpha: float = 0.2) -> np.ndarray:
     """Dense solve: (I - (1-a) M^T) pi = a e_s, where M is the transition
-    matrix with self-loops on dangling rows. O(n^3); fixtures only."""
+    matrix with self-loops on dangling rows. O(n^3); fixtures only.
+    Weighted graphs: M[v, t] = w(v, t) / W(v)."""
     n = g.n
     M = np.zeros((n, n), dtype=np.float64)
     deg = np.asarray(g.out_deg, dtype=np.int64)
     src = np.repeat(np.arange(n), deg)
+    if g.weighted:
+        w = np.asarray(g.out_w, dtype=np.float64)
+        wsum = np.bincount(src, weights=w, minlength=n)
+        vals = w / wsum[src]
+    else:
+        vals = 1.0 / deg[src]
     # np.add.at: fancy-index += would drop parallel edges
-    np.add.at(M, (src, np.asarray(g.out_indices, dtype=np.int64)),
-              1.0 / deg[src])
+    np.add.at(M, (src, np.asarray(g.out_indices, dtype=np.int64)), vals)
     dang = np.nonzero(deg == 0)[0]
     M[dang, dang] = 1.0
     A = np.eye(n) - (1.0 - alpha) * M.T
@@ -45,13 +51,22 @@ def exact_ppr_dense(g: CSRGraph, source: int, alpha: float = 0.2) -> np.ndarray:
 
 def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
                     tol: float = 1e-12, max_iters: int = 2000) -> np.ndarray:
-    """Power iteration to ||delta||_1 <= tol. O(m) per iteration."""
+    """Power iteration to ||delta||_1 <= tol. O(m) per iteration.
+    Weighted graphs: transitions w(v, t) / W(v)."""
     n = g.n
     deg = np.asarray(g.out_deg, dtype=np.float64)
     in_src = np.asarray(g.in_src, dtype=np.int64)
     in_dst = np.asarray(g.in_dst, dtype=np.int64)
     dangling = deg == 0
-    inv_deg = np.where(dangling, 0.0, 1.0 / np.maximum(deg, 1.0))
+    if g.weighted:
+        src = np.repeat(np.arange(n), np.asarray(g.out_deg, np.int64))
+        wsum = np.bincount(src, weights=np.asarray(g.out_w, np.float64),
+                           minlength=n)
+        inv_deg = np.where(dangling, 0.0, 1.0 / np.maximum(wsum, 1e-300))
+        edge_w = np.asarray(g.in_w, dtype=np.float64)
+    else:
+        inv_deg = np.where(dangling, 0.0, 1.0 / np.maximum(deg, 1.0))
+        edge_w = None
 
     pi = np.zeros(n, dtype=np.float64)
     pi[source] = 1.0
@@ -59,7 +74,8 @@ def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
     e_s[source] = 1.0
     for _ in range(max_iters):
         contrib = pi * inv_deg
-        nxt = np.bincount(in_dst, weights=contrib[in_src], minlength=n)
+        vals = contrib[in_src] if edge_w is None else contrib[in_src] * edge_w
+        nxt = np.bincount(in_dst, weights=vals, minlength=n)
         nxt[dangling] += pi[dangling]          # self-loop on dangling rows
         nxt = alpha * e_s + (1.0 - alpha) * nxt
         if np.abs(nxt - pi).sum() <= tol:
@@ -89,9 +105,16 @@ def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
     dangling = np.nonzero(deg == 0)[0]
     in_src = np.asarray(g.in_src, dtype=np.int64)
     in_dst = np.asarray(g.in_dst, dtype=np.int64)
-    # A[t, v] = (multiplicity of v->t) / deg[v]; dangling v: A[v, v] = 1.
-    # coo->csr sums duplicate entries, preserving parallel edges.
-    data = 1.0 / deg[in_src]
+    # A[t, v] = w(v->t) / W(v) (unweighted: multiplicity / deg); dangling
+    # v: A[v, v] = 1.  coo->csr sums duplicates, preserving parallel edges.
+    if g.weighted:
+        srcs = np.repeat(np.arange(n, dtype=np.int64),
+                         np.asarray(g.out_deg, np.int64))
+        wsum = np.bincount(srcs, weights=np.asarray(g.out_w, np.float64),
+                           minlength=n)
+        data = np.asarray(g.in_w, np.float64) / wsum[in_src]
+    else:
+        data = 1.0 / deg[in_src]
     rows = np.concatenate([in_dst, dangling])
     cols = np.concatenate([in_src, dangling])
     data = np.concatenate([data, np.ones(len(dangling))])

@@ -198,7 +198,8 @@ class StagedForaPrograms:
     """
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index,
-                 gather_dtype=None, gather_chunk: int = 1 << 23):
+                 gather_dtype=None, gather_chunk: int = 1 << 23,
+                 push_segment_secs: float = 20.0):
         from ..index import build as ib
         self.graph, self.rcfg, self.index = graph, rcfg, index
         # Buffer DONATION throughout: the refinement pool's (p, r) state is
@@ -206,9 +207,20 @@ class StagedForaPrograms:
         # nodes, B=128).  Donating lets XLA alias the state arguments onto
         # the outputs; without it the push program holds input AND output
         # copies of the state and overflows v5e's 16 GB HBM.
+        #
+        # Push runs SEGMENTED: max_iters enters the compiled program as a
+        # runtime scalar and the host loops segments until convergence
+        # (st.iters < segment cap).  A deep-start push at LiveJournal scale
+        # is minutes of supersteps in ONE while_loop program otherwise —
+        # past the remote-execution watchdog of tunneled TPU runtimes
+        # (measured: any single program > ~60 s kills this image's worker).
+        # Segment length is sized from the ~35 GB/s effective gather rate
+        # so each program stays ~push_segment_secs.
+        self._m_eff = int(graph.in_src.shape[0])
+        self._push_segment_secs = push_segment_secs
         self._push = jax.jit(functools.partial(
             push_ops.forward_push_from, alpha=rcfg.alpha,
-            max_iters=rcfg.max_push_iters, max_chunk=gather_chunk,
+            max_chunk=gather_chunk,
             gather_dtype=gather_dtype), donate_argnums=(1,))
 
         def bucket_spmv(src, dst, mult, r, inv_cnt, contrib):
@@ -245,6 +257,28 @@ class StagedForaPrograms:
             self._inv[depth] = 1.0 / jnp.maximum(cc, 1).astype(jnp.float32)
         return self._inv[depth]
 
+    def _segment_iters(self, batch: int) -> int:
+        """Supersteps per push program call: ~push_segment_secs at the
+        measured ~35 GB/s effective gather rate (v5e, CLAUDE.md), floor 4.
+        Small graphs get a cap above any realistic superstep count — one
+        program call, zero extra host syncs, behavior unchanged."""
+        est_secs = max(self._m_eff * batch * 4 / 35e9, 1e-6)
+        return max(4, int(self._push_segment_secs / est_secs))
+
+    def _push_segmented(self, p0, r0, rmax, thr):
+        st = push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32))
+        seg = self._segment_iters(r0.shape[1])
+        done = 0
+        while done < self.rcfg.max_push_iters:
+            cap = min(seg, self.rcfg.max_push_iters - done)
+            st = self._push(self.graph, st, rmax=jnp.float32(rmax), thr=thr,
+                            max_iters=jnp.int32(cap))
+            it = int(st.iters)   # host sync: segment convergence check
+            done += it
+            if it < cap:
+                break
+        return st._replace(iters=jnp.int32(done))
+
     def state_fn(self, index_depth: int):
         from ..index import build as ib
 
@@ -259,11 +293,7 @@ class StagedForaPrograms:
             thr = counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
             # p0/r0 are DONATED — callers must not reuse them (query_pool
             # rebinds its state blocks to the outputs)
-            st = self._push(
-                self.graph,
-                push_ops.PushState(p=p0, r=r0,
-                                   iters=jnp.zeros((), jnp.int32)),
-                rmax=jnp.float32(rmax), thr=thr)
+            st = self._push_segmented(p0, r0, rmax, thr)
             inv = self._inv_cnt(index_depth)
             contrib = jnp.zeros_like(st.r)
             for q in range(index_depth, ib.NUM_BUCKETS):

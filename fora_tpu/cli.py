@@ -16,6 +16,11 @@ Actions:
 
 Algorithms (--algo): fora (default), montecarlo, fwdpush, hubppr
 (hub-indexed Monte Carlo; --num-hubs controls the index).
+
+Weighted graphs: a third column in graph.txt is auto-detected as positive
+per-edge weights; every algorithm then runs the weighted kernel (walks step
+v -> u w.p. w(v,u)/W(v) via alias tables; push propagates w/W fractions;
+gen-exact-topk solves the weighted chain).
 """
 
 from __future__ import annotations

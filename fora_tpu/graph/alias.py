@@ -28,7 +28,12 @@ class AliasTables(NamedTuple):
 
 def build_alias(g: CSRGraph, weights: Optional[np.ndarray] = None) -> AliasTables:
     """Vose alias construction per CSR row. ``weights`` is per-edge (out-CSR
-    order); None means uniform (prob=1 everywhere, other=self)."""
+    order); None means uniform (prob=1 everywhere, other=self).
+
+    The native C++ builder (fora_tpu/_native, O(m), no Python per-row loop)
+    is used when available — required at LiveJournal+ scale; this Python
+    loop is the tested fallback (same distribution; tables may differ in
+    stack order, which sampling is insensitive to)."""
     m = g.m
     prob = np.ones(m, dtype=np.float32)
     other = np.asarray(g.out_indices, dtype=np.int32).copy()
@@ -38,6 +43,13 @@ def build_alias(g: CSRGraph, weights: Optional[np.ndarray] = None) -> AliasTable
     w = np.asarray(weights, dtype=np.float64)
     if w.shape != (m,):
         raise ValueError("weights must be per-edge, out-CSR order")
+
+    from .._native import native_build_alias
+    if native_build_alias is not None:
+        p, o = native_build_alias(np.asarray(g.out_indptr, np.int64),
+                                  g.out_indices,
+                                  np.asarray(weights, np.float32))
+        return AliasTables(prob=p, other=o)
     indptr = np.asarray(g.out_indptr, dtype=np.int64)
     cols = np.asarray(g.out_indices, dtype=np.int64)
     for v in range(g.n):

@@ -29,6 +29,13 @@ class CSRGraph(NamedTuple):
 
     ``n`` and ``m`` are derivable from array shapes, so the device pytree
     carries no static metadata.
+
+    Weighted graphs (optional third column in graph.txt, SURVEY.md Sec. 2.1
+    checklist item 2) carry per-edge weights in BOTH edge orders:
+    ``out_w`` aligned with ``out_indices`` (walk-phase alias sampling) and
+    ``in_w`` aligned with ``in_src``/``in_dst`` (push-phase SpMV).  Random
+    walks step v -> u with probability w(v,u) / W(v), W(v) = sum of v's
+    out-weights; unweighted graphs (both None) keep uniform transitions.
     """
 
     out_indptr: np.ndarray   # [n+1] int32, CSR row pointers over out-edges
@@ -37,6 +44,8 @@ class CSRGraph(NamedTuple):
     in_dst: np.ndarray       # [m]   int32, destination of each in-edge (ascending)
     out_deg: np.ndarray      # [n]   int32
     in_deg: np.ndarray       # [n]   int32
+    out_w: np.ndarray = None  # [m] f32 edge weights (out-CSR order), or None
+    in_w: np.ndarray = None   # [m] f32 edge weights (in-edge order), or None
 
     @property
     def n(self) -> int:
@@ -46,16 +55,31 @@ class CSRGraph(NamedTuple):
     def m(self) -> int:
         return int(self.out_indices.shape[0])
 
+    @property
+    def weighted(self) -> bool:
+        return self.out_w is not None
+
 
 class DeviceGraph(NamedTuple):
     """Device-side graph pytree (all jnp arrays; no static fields).
 
-    ``in_w`` (optional, [m_u] f32): duplicate-edge multiplicities.  When set,
-    ``in_src``/``in_dst`` hold the UNIQUE (src, dst) pairs and each push
-    superstep multiplies the gathered contribution by ``in_w`` — the same
-    lossless duplicate-merge the FORA+ index uses (multigraph semantics are
-    preserved exactly; out-CSR/degrees keep full multiplicity for walks).
-    Shrinks the hot random row-gather by the graph's parallel-edge fraction.
+    ``in_w`` (optional, [m_u] f32): per-in-edge multiplier on the push
+    SpMV.  Two producers share this channel (they compose — both are "how
+    much of src's unit contribution flows down this edge"):
+
+      * duplicate-edge MULTIPLICITIES: ``in_src``/``in_dst`` hold UNIQUE
+        (src, dst) pairs and in_w counts the merged parallel edges — the
+        same lossless merge the FORA+ index uses (multigraph semantics
+        preserved exactly; out-CSR keeps full multiplicity for walks).
+        Shrinks the hot random row-gather by the parallel-edge fraction.
+      * edge WEIGHTS (weighted graphs): in_w = w(src, dst) (summed over
+        merged parallels) and ``out_wsum`` = per-node total out-weight;
+        the superstep divides by out_wsum instead of out_deg, so the
+        propagated fraction is w/W — the weighted transition kernel.
+
+    ``alias_prob``/``alias_other`` (optional, [m] aligned with out-CSR):
+    Walker alias tables; when set, walk hops sample out-neighbors
+    proportionally to weight in O(1) (one extra gather + compare).
     """
 
     out_indptr: "jnp.ndarray"   # [n+1] i32
@@ -63,7 +87,13 @@ class DeviceGraph(NamedTuple):
     in_src: "jnp.ndarray"       # [m or m_u] i32
     in_dst: "jnp.ndarray"       # [m or m_u] i32
     out_deg: "jnp.ndarray"      # [n] i32
-    in_w: "jnp.ndarray" = None  # [m_u] f32 multiplicity, or None
+    in_w: "jnp.ndarray" = None      # [m_u] f32 multiplier, or None
+    out_wsum: "jnp.ndarray" = None  # [n] f32 total out-weight, or None
+    alias_prob: "jnp.ndarray" = None   # [m] f32, or None
+    alias_other: "jnp.ndarray" = None  # [m] i32, or None
+    out_w: "jnp.ndarray" = None     # [m] f32 weights, out-CSR order
+    #                                 (backward push needs w(u,v)/W(u) in
+    #                                 src-sorted order), or None
 
     @property
     def n(self) -> int:
@@ -73,13 +103,19 @@ class DeviceGraph(NamedTuple):
     def m(self) -> int:
         return self.out_indices.shape[0]
 
+    @property
+    def weighted(self) -> bool:
+        return self.out_wsum is not None
+
 
 def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
-               dedup: bool = False) -> CSRGraph:
+               dedup: bool = False, w: np.ndarray = None) -> CSRGraph:
     """Pack an edge list into CSR + dst-sorted in-edge form.
 
     Self-loops and parallel edges are kept (the reference treats graph.txt
-    verbatim); set ``dedup`` to drop exact duplicate edges.
+    verbatim); set ``dedup`` to drop exact duplicate edges.  ``w``
+    (optional, [m] positive): per-edge weights, carried into both edge
+    orders (see CSRGraph).
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -87,10 +123,18 @@ def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
         raise ValueError("src/dst shape mismatch")
     if src.size and (src.min() < 0 or src.max() >= n or dst.min() < 0 or dst.max() >= n):
         raise ValueError("edge endpoint out of range")
+    if w is not None:
+        w = np.asarray(w, dtype=np.float32)
+        if w.shape != src.shape:
+            raise ValueError("w must be per-edge")
+        if w.size and w.min() <= 0:
+            raise ValueError("edge weights must be positive")
     if dedup and src.size:
         key = src * n + dst
         _, keep = np.unique(key, return_index=True)
         src, dst = src[keep], dst[keep]
+        if w is not None:
+            w = w[keep]
 
     m = src.size
     # sort by src for out-CSR
@@ -113,15 +157,32 @@ def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
         in_dst=in_dst.astype(np.int32),
         out_deg=out_deg.astype(np.int32),
         in_deg=in_deg.astype(np.int32),
+        out_w=None if w is None else w[order],
+        in_w=None if w is None else w[order_in],
     )
 
 
 def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
     """Copy to device.  ``merge_duplicate_edges`` collapses parallel in-edges
-    into unique (src, dst) pairs with an ``in_w`` multiplicity column (see
+    into unique (src, dst) pairs with an ``in_w`` multiplier column (see
     DeviceGraph) — only worthwhile for multigraphs (e.g. raw RMAT output);
-    simple graphs get ``in_w=None`` and the unmodified edge list."""
-    in_src, in_dst, in_w = g.in_src, g.in_dst, None
+    simple graphs get ``in_w=None`` and the unmodified edge list.
+
+    Weighted graphs (g.out_w set) get the full weighted kernel: push
+    multipliers in_w = w (parallel edges merged by SUMMING weights —
+    exactly the weight of the combined edge), per-node out-weight totals
+    ``out_wsum``, and Walker alias tables for O(1) weighted hop sampling.
+    """
+    in_src, in_dst = g.in_src, g.in_dst
+    in_w = None if g.in_w is None else g.in_w.astype(np.float32)
+    out_wsum = alias = None
+    if g.weighted:
+        src = np.repeat(np.arange(g.n, dtype=np.int64),
+                        np.asarray(g.out_deg, dtype=np.int64))
+        out_wsum = np.bincount(src, weights=np.asarray(g.out_w, np.float64),
+                               minlength=g.n).astype(np.float32)
+        from .alias import build_alias   # function-level: alias imports csr
+        alias = build_alias(g, weights=g.out_w)
     if merge_duplicate_edges and g.m:
         # in-edges are dst-sorted; a stable (dst, src) sort keeps dst order,
         # so the merged list still satisfies sorted-segment_sum's contract
@@ -132,10 +193,16 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
         first[1:] = ks[1:] != ks[:-1]
         if not first.all():
             starts = np.nonzero(first)[0]
-            counts = np.diff(np.append(starts, ks.size))
+            seg = np.cumsum(first) - 1          # merged-edge id per position
             in_src = g.in_src[order][starts]
             in_dst = g.in_dst[order][starts]
-            in_w = counts.astype(np.float32)
+            if g.weighted:
+                in_w = np.bincount(
+                    seg, weights=g.in_w[order].astype(np.float64),
+                    minlength=len(starts)).astype(np.float32)
+            else:
+                counts = np.diff(np.append(starts, ks.size))
+                in_w = counts.astype(np.float32)
     return DeviceGraph(
         out_indptr=jnp.asarray(g.out_indptr),
         out_indices=jnp.asarray(g.out_indices),
@@ -143,6 +210,11 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
         in_dst=jnp.asarray(in_dst),
         out_deg=jnp.asarray(g.out_deg),
         in_w=None if in_w is None else jnp.asarray(in_w),
+        out_wsum=None if out_wsum is None else jnp.asarray(out_wsum),
+        alias_prob=None if alias is None else jnp.asarray(alias.prob),
+        alias_other=None if alias is None else jnp.asarray(alias.other),
+        out_w=None if not g.weighted else jnp.asarray(
+            g.out_w.astype(np.float32)),
     )
 
 

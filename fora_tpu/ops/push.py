@@ -165,8 +165,12 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
     ar = jnp.where(active, state.r, 0.0)
     # dangling absorbs its full residue (self-loop geometric series)
     p = state.p + jnp.where(dangling, ar, alpha * ar)
+    # weighted graphs: the propagated fraction down edge (v, u) is
+    # w(v,u)/W(v) — in_w carries w, out_wsum carries W (unweighted: the
+    # multiplicity/out_deg pair reduces to the same kernel)
+    wsum = deg if graph.out_wsum is None else graph.out_wsum[:, None]
     contrib = jnp.where(dangling, 0.0,
-                        (1.0 - alpha) * ar / jnp.maximum(deg, 1.0))
+                        (1.0 - alpha) * ar / jnp.maximum(wsum, 1e-30))
 
     if e_cap > 0 and graph.in_w is None:
         row_active = jnp.any(contrib != 0.0, axis=1)

@@ -108,7 +108,12 @@ def run_walks(graph: DeviceGraph, start: jnp.ndarray, key: jax.Array, *,
     start: [W, B] start node per lane.  With ``alias_prob``/``alias_other``
     (per-edge-slot tables aligned with out-CSR), hops sample the weighted
     distribution; otherwise uniform out-neighbor, like the reference.
+    A weighted DeviceGraph carries its own alias tables — they are picked
+    up automatically, so every walk consumer (FORA, Monte Carlo, the index
+    builder) samples the weighted kernel without plumbing.
     """
+    if alias_prob is None and graph.alias_prob is not None:
+        alias_prob, alias_other = graph.alias_prob, graph.alias_other
     W, B = start.shape
     length = geometric_lengths(jax.random.fold_in(key, 0), (W, B), alpha,
                                max_hops)

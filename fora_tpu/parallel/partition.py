@@ -5,7 +5,9 @@ a common n_loc); each graph shard owns
 
   * the in-edges whose destination falls in its rows (push phase), with
     destination ids localized and source ids kept global — padded to a
-    common m_loc across shards;
+    common m_loc across shards (weighted graphs: per-edge weights are
+    sharded alongside, and per-row out-weight totals + replicated alias
+    tables ride along for the weighted kernel);
   * its slice of degrees / walk-index rows.
 
 The walk CSR (out_indptr/out_indices) stays replicated in v1: walks
@@ -41,10 +43,19 @@ class PartitionedGraph(NamedTuple):
     out_indptr: np.ndarray      # [n_pad + 1] i32 (pad rows: empty)
     out_indices: np.ndarray     # [m] i32
     out_deg: np.ndarray         # [n_pad] i32
+    # weighted-graph extras (None on unweighted graphs)
+    in_w_sharded: Optional[np.ndarray] = None    # [G * m_loc] f32, pad 0
+    out_wsum_sharded: Optional[np.ndarray] = None  # [G * n_loc] f32, pad 0
+    alias_prob: Optional[np.ndarray] = None      # [m] f32 replicated
+    alias_other: Optional[np.ndarray] = None     # [m] i32 replicated
 
     @property
     def n_pad(self) -> int:
         return self.n_shards * self.n_loc
+
+    @property
+    def weighted(self) -> bool:
+        return self.out_wsum_sharded is not None
 
 
 def partition_rows(g: CSRGraph, n_shards: int,
@@ -62,6 +73,8 @@ def partition_rows(g: CSRGraph, n_shards: int,
 
     src_flat = np.full(n_shards * m_loc, n_pad, dtype=np.int32)  # pad: zero slot
     dst_flat = np.full(n_shards * m_loc, n_loc, dtype=np.int32)  # pad: dropped
+    w_flat = (np.zeros(n_shards * m_loc, dtype=np.float32)
+              if g.weighted else None)
     # in-edges are dst-sorted, so each shard's edges are contiguous
     edge_start = np.zeros(n_shards + 1, dtype=np.int64)
     np.cumsum(counts, out=edge_start[1:])
@@ -70,6 +83,8 @@ def partition_rows(g: CSRGraph, n_shards: int,
         k = hi - lo
         src_flat[s * m_loc: s * m_loc + k] = in_src[lo:hi]
         dst_flat[s * m_loc: s * m_loc + k] = in_dst[lo:hi] - s * n_loc
+        if w_flat is not None:
+            w_flat[s * m_loc: s * m_loc + k] = g.in_w[lo:hi]
 
     deg = np.zeros(n_pad, dtype=np.int32)
     deg[:n] = np.asarray(g.out_deg)
@@ -77,12 +92,25 @@ def partition_rows(g: CSRGraph, n_shards: int,
     indptr[: n + 1] = np.asarray(g.out_indptr)
     indptr[n + 1:] = indptr[n]
 
+    wsum = alias_p = alias_o = None
+    if g.weighted:
+        srcs = np.repeat(np.arange(n, dtype=np.int64),
+                         np.asarray(g.out_deg, np.int64))
+        wsum = np.zeros(n_pad, dtype=np.float32)
+        wsum[:n] = np.bincount(srcs, weights=np.asarray(g.out_w, np.float64),
+                               minlength=n).astype(np.float32)
+        from ..graph.alias import build_alias
+        alias = build_alias(g, weights=g.out_w)
+        alias_p, alias_o = alias.prob, alias.other
+
     return PartitionedGraph(
         n_shards=n_shards, n_loc=n_loc, m_loc=m_loc,
         in_src_global=src_flat, in_dst_local=dst_flat,
         out_deg_sharded=deg.copy(),   # same values, consumed sharded
         out_indptr=indptr, out_indices=np.asarray(g.out_indices),
         out_deg=deg,
+        in_w_sharded=w_flat, out_wsum_sharded=wsum,
+        alias_prob=alias_p, alias_other=alias_o,
     )
 
 

@@ -178,9 +178,15 @@ def exchange_bytes_model(mode: str, *, n_loc: int, batch: int, G: int,
 
 
 def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
-               alpha, max_iters, n_loc, exchange_fn):
+               alpha, max_iters, n_loc, exchange_fn,
+               in_w=None, wsum=None):
     """Sharded push supersteps from (p0, r0) until r <= thr everywhere.
-    thr: [n_loc, 1] per-node termination threshold."""
+    thr: [n_loc, 1] per-node termination threshold.  Weighted graphs pass
+    per-in-edge weights ``in_w`` [m_loc] and per-row out-weight totals
+    ``wsum`` [n_loc, 1] (the propagated fraction is w/W, see ops/push.py).
+    """
+    div = jnp.maximum(deg_f, 1.0) if wsum is None else jnp.maximum(wsum,
+                                                                   1e-30)
 
     def frontier_count(r):
         return jax.lax.psum(jnp.sum((r > thr).astype(jnp.int32)),
@@ -195,10 +201,11 @@ def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
         active = r > thr
         ar = jnp.where(active, r, 0.0)
         p = p + jnp.where(dangling, ar, alpha * ar)
-        contrib = jnp.where(dangling, 0.0,
-                            (1.0 - alpha) * ar / jnp.maximum(deg_f, 1.0))
+        contrib = jnp.where(dangling, 0.0, (1.0 - alpha) * ar / div)
         contrib_full = exchange_fn(contrib)                   # [n_pad, Bq]
         vals = contrib_full[in_src]                           # [m_loc, Bq]
+        if in_w is not None:
+            vals = vals * in_w[:, None]
         delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
                                     indices_are_sorted=True)[:n_loc]
         r = jnp.where(active, 0.0, r) + delta
@@ -245,10 +252,14 @@ def _shard_fora_topk(
     in_src,           # [m_loc] i32 (global, padded-src=0)
     in_dst,           # [m_loc] i32 (local, pad=n_loc)
     deg_loc,          # [n_loc] i32
+    in_w_loc,         # [m_loc] f32 edge weights, pad=0 (dummy if unweighted)
+    wsum_loc,         # [n_loc] f32 out-weight totals (dummy if unweighted)
     needed,           # [G, n_loc] bool routing mask (dummy unless routed)
     out_indptr,       # [n_pad+1] i32 replicated
     out_indices,      # [m] i32 replicated
     out_deg,          # [n_pad] i32 replicated
+    alias_prob,       # [m] f32 replicated (dummy if unweighted)
+    alias_other,      # [m] i32 replicated (dummy if unweighted)
     idx_edge_src,     # [e_loc_total] i32 local src, pad=n_loc (or dummy)
     idx_edge_dst,     # [e_loc_total] i32 global dst, pad=n_pad (or dummy)
     idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
@@ -258,7 +269,7 @@ def _shard_fora_topk(
     use_index: bool, index_has_mult: bool = False, index_depth: int = 0,
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
-    exchange: str = "dense", exchange_cap: int = 0,
+    exchange: str = "dense", exchange_cap: int = 0, weighted: bool = False,
 ):
     G = n_graph_shards
     g_id = jax.lax.axis_index(GRAPH_AXIS)
@@ -293,7 +304,9 @@ def _shard_fora_topk(
         pallas_interpret=pallas_interpret)
     p, r, iters = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                              alpha=alpha, max_iters=rcfg.max_push_iters,
-                             n_loc=n_loc, exchange_fn=exchange_fn)
+                             n_loc=n_loc, exchange_fn=exchange_fn,
+                             in_w=in_w_loc if weighted else None,
+                             wsum=wsum_loc[:, None] if weighted else None)
 
     # --- walk phase: shard-local residues feed either the local slice of
     # the multi-resolution index (SpMV over index edges, endpoint mass
@@ -311,7 +324,10 @@ def _shard_fora_topk(
         walk_graph = DeviceGraph(out_indptr=out_indptr,
                                  out_indices=out_indices,
                                  in_src=in_src, in_dst=in_dst,  # unused
-                                 out_deg=out_deg)
+                                 out_deg=out_deg,
+                                 alias_prob=alias_prob if weighted else None,
+                                 alias_other=(alias_other if weighted
+                                              else None))
         endpoints = walk_ops.run_walks(
             walk_graph, alloc.start + row0,
             jax.random.fold_in(key, g_id), alpha=alpha,
@@ -353,11 +369,12 @@ def _shard_level_step(
     key,              # unused (indexed mode is deterministic)
     rmax,             # [] f32 runtime scalar
     omega_unit,       # [] f32 runtime scalar
-    in_src, in_dst, deg_loc, needed,
+    in_src, in_dst, deg_loc, in_w_loc, wsum_loc, needed,
     idx_edge_src, idx_edge_dst, idx_counts_cum, idx_edge_mult,
     *, rcfg: ResolvedConfig, n_loc: int, k: int, index_depth: int,
     index_bucket_offsets, index_has_mult: bool, n_graph_shards: int,
     exchange: str, exchange_cap: int, t_bound: float,
+    weighted: bool = False,
 ):
     """One delta level of the sharded refinement pool: resume push from
     (p0, r0) to the level's per-node coverage threshold, indexed walk
@@ -382,7 +399,9 @@ def _shard_level_step(
         n_loc=n_loc, n_pad=n_pad, G=G)
     p, r, _ = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                          alpha=rcfg.alpha, max_iters=rcfg.max_push_iters,
-                         n_loc=n_loc, exchange_fn=exchange_fn)
+                         n_loc=n_loc, exchange_fn=exchange_fn,
+                         in_w=in_w_loc if weighted else None,
+                         wsum=wsum_loc[:, None] if weighted else None)
 
     contrib_all = _indexed_contrib(
         r, idx_edge_src, idx_edge_dst, idx_edge_mult, counts_col,
@@ -459,14 +478,27 @@ class _ShardedPlacement:
             needed = part.needed_masks(pg)                  # [G*G, n_loc]
         else:
             needed = np.zeros((G, 1), dtype=bool)           # dummy
+        self.weighted = pg.weighted
+        in_w = (pg.in_w_sharded if self.weighted
+                else np.zeros(G, dtype=np.float32))         # dummy
+        wsum = (pg.out_wsum_sharded if self.weighted
+                else np.zeros(G, dtype=np.float32))         # dummy
         self.push_args = [
             put(pg.in_src_global, gspec), put(pg.in_dst_local, gspec),
-            put(pg.out_deg_sharded, gspec), put(needed, gspec),
+            put(pg.out_deg_sharded, gspec),
+            put(in_w, gspec), put(wsum, gspec), put(needed, gspec),
         ]
-        self.walk_args = ([put(pg.out_indptr, self.rep),
-                           put(pg.out_indices, self.rep),
-                           put(pg.out_deg, self.rep)]
-                          if with_walk_side else [])
+        if with_walk_side:
+            ap = (pg.alias_prob if self.weighted
+                  else np.zeros(1, dtype=np.float32))       # dummy
+            ao = (pg.alias_other if self.weighted
+                  else np.zeros(1, dtype=np.int32))         # dummy
+            self.walk_args = [put(pg.out_indptr, self.rep),
+                              put(pg.out_indices, self.rep),
+                              put(pg.out_deg, self.rep),
+                              put(ap, self.rep), put(ao, self.rep)]
+        else:
+            self.walk_args = []
 
         self.use_index = index is not None
         self.index_bucket_offsets = None
@@ -537,12 +569,14 @@ class ShardedForaEngine:
             index_bucket_offsets=data.index_bucket_offsets,
             pallas_ring=pallas_ring, pallas_interpret=pallas_interpret,
             n_graph_shards=G, exchange=exchange,
-            exchange_cap=data.exchange_cap)
+            exchange_cap=data.exchange_cap, weighted=data.weighted)
         gspec, rep = data.gspec, data.rep
         mapped = shard_map(
             fn, mesh,
-            in_specs=(P(QUERY_AXIS), P(), gspec, gspec, gspec, gspec,
-                      rep, rep, rep, gspec, gspec, gspec, gspec),
+            in_specs=(P(QUERY_AXIS), P(),
+                      gspec, gspec, gspec, gspec, gspec, gspec,
+                      rep, rep, rep, rep, rep,
+                      gspec, gspec, gspec, gspec),
             out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
         self._jitted = jax.jit(mapped)
         self._src_sharding = jax.sharding.NamedSharding(mesh, P(QUERY_AXIS))
@@ -616,14 +650,15 @@ class ShardedTopkRunner(TopkRunner):
                 index_bucket_offsets=data.index_bucket_offsets,
                 index_has_mult=data.index_has_mult,
                 n_graph_shards=self.G, exchange=self._exchange,
-                exchange_cap=data.exchange_cap, t_bound=self._t_bound)
+                exchange_cap=data.exchange_cap, t_bound=self._t_bound,
+                weighted=data.weighted)
             gspec = data.gspec
             st = P(GRAPH_AXIS, QUERY_AXIS)
             q = P(QUERY_AXIS)
             mapped = shard_map(
                 fn, self.mesh,
                 in_specs=(st, st, P(), P(), P(),
-                          gspec, gspec, gspec, gspec,
+                          gspec, gspec, gspec, gspec, gspec, gspec,
                           gspec, gspec, gspec, gspec),
                 out_specs=(q, q, q, q, q, st, st))
             # donate the row-sharded (p, r) block — query_pool rebinds the

@@ -3,7 +3,10 @@
 Runs the sharded batched top-k pipeline over increasing 'graph'-axis mesh
 sizes with the graph row-sharded, and reports throughput + efficiency
 relative to the smallest mesh (strong scaling at fixed batch, since the
-graph is the scaled resource).
+graph is the scaled resource) PLUS the modeled frontier-exchange wire
+volume per superstep for each exchange mode (dense all_gather vs compact
+broadcast vs routed all-to-all) — the comm term the mesh can't hide
+(SURVEY.md Sec. 2.3 EP row).
 
 On the real pod this is run per-host via jax.distributed (see
 fora_tpu/parallel/multihost.py); on this single-chip sandbox it runs on a
@@ -33,6 +36,8 @@ def main():
     ap.add_argument("--k", type=int, default=50)
     ap.add_argument("--meshes", default="1,2,4,8")
     ap.add_argument("--indexed", action="store_true")
+    ap.add_argument("--exchange", default="dense",
+                    choices=["dense", "compact", "routed", "ragged"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu-devices", type=int, default=8,
                     help="virtual CPU devices (0 = use real devices)")
@@ -47,7 +52,8 @@ def main():
     from fora_tpu.config import ForaConfig
     from fora_tpu.graph import generators, to_device
     from fora_tpu import index as widx
-    from fora_tpu.parallel import ShardedForaEngine, make_mesh
+    from fora_tpu.parallel import (ShardedForaEngine, exchange_bytes_model,
+                                   make_mesh)
 
     g = generators.rmat(args.nlog2, (1 << args.nlog2) * args.edgef, seed=7)
     rcfg = ForaConfig(epsilon=0.5, k=args.k).resolved(g.n, g.m)
@@ -61,7 +67,8 @@ def main():
         if gshards > len(jax.devices()):
             break
         mesh = make_mesh(gshards, 1, devices=jax.devices()[:gshards])
-        eng = ShardedForaEngine(g, mesh, rcfg, k=args.k, index=index)
+        eng = ShardedForaEngine(g, mesh, rcfg, k=args.k, index=index,
+                                exchange=args.exchange)
         eng.topk(sources, jax.random.key(1)).values.block_until_ready()
         t0 = time.time()
         for i in range(args.reps):
@@ -72,9 +79,20 @@ def main():
         if base_qps is None:
             base_qps = qps
         eff = qps / base_qps  # strong scaling: ideal = 1.0 (graph sharded)
+        # per-superstep wire bytes leaving ONE shard, per exchange mode
+        # (model; the routed/compact capacity is the engine's default)
+        n_loc = eng.pg.n_loc
+        cap = max(64, int(n_loc * 0.125) // 8 * 8)
+        bw = {mode: exchange_bytes_model(
+            mode, n_loc=n_loc, batch=args.batch, G=gshards,
+            cap=cap) for mode in ("dense", "compact", "routed")}
         print(json.dumps({"graph_shards": gshards, "qps": round(qps, 2),
                           "ms_per_batch": round(dt * 1e3, 1),
-                          "efficiency_vs_1shard": round(eff, 3)}),
+                          "efficiency_vs_1shard": round(eff, 3),
+                          "push_iters": int(r.push_iters),
+                          "exchange": args.exchange,
+                          "exchange_mb_per_superstep_per_shard": {
+                              k: round(v / 1e6, 2) for k, v in bw.items()}}),
               flush=True)
 
 
