@@ -135,12 +135,12 @@ def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
     return k
 
 
-def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
-                     key: jax.Array, *, max_per_node: Optional[int] = None,
-                     chunk: int = 1 << 21,
-                     checkpoint_dir: Optional[str] = None) -> WalkIndex:
-    """Run all index walks on device in lane-chunks, then pack the
-    multi-resolution bucketed SpMV layout on the host.
+def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
+                    chunk: int, checkpoint_dir: Optional[str],
+                    fingerprint: dict) -> np.ndarray:
+    """Shared chunk loop for index builders: drive ``run(starts_chunk,
+    chunk_key) -> endpoints`` over lane-chunks with optional crash-resume
+    checkpoints.
 
     ``checkpoint_dir``: persist each completed lane-chunk's endpoints
     (atomic rename) so an interrupted build resumes where it stopped —
@@ -154,26 +154,9 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     import json
     from pathlib import Path
 
-    n = graph.n
-    deg = np.asarray(graph.out_deg)
-    counts = index_counts(deg, rcfg, max_per_node)
-    total = int(counts.sum())
-    if total + n >= 2**31:
-        raise ValueError(
-            f"walk index ({total} endpoints) exceeds int32 range; shard the "
-            "graph rows first (fora_tpu.parallel) or cap max_per_node")
-
+    n = counts.shape[0]
     starts = np.repeat(np.arange(n, dtype=np.int32), counts)
     endpoints = np.empty(total, dtype=np.int32)
-
-    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes.
-    # The graph is a jit ARGUMENT (closure constants embed into the HLO and
-    # overflow the remote-compile transport at scale).
-    run = jax.jit(
-        lambda gr, s, k: walk_ops.run_walks(
-            gr, s.reshape(-1, 128), k, alpha=rcfg.alpha,
-            max_hops=rcfg.max_walk_hops).reshape(-1))
-    run = functools.partial(run, graph)
     chunk = -(-chunk // 128) * 128
     n_chunks = max(1, math.ceil(total / chunk))
 
@@ -181,13 +164,13 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     if checkpoint_dir is not None:
         ckpt = Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
-        fp = {
+        fp = dict(fingerprint)
+        fp.update({
             "counts_sha": hashlib.sha1(counts.tobytes()).hexdigest(),
             "key_sha": hashlib.sha1(
                 np.asarray(jax.random.key_data(key)).tobytes()).hexdigest(),
             "chunk": chunk, "total": total, "n": n,
-            "alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
-        }
+        })
         mf = ckpt / "manifest.json"
         if mf.exists():
             if json.loads(mf.read_text()) != fp:
@@ -214,7 +197,40 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
             with open(tmp, "wb") as fh:   # np.save(path) would append .npy
                 np.save(fh, endpoints[lo:hi])
             tmp.rename(ckpt / f"chunk_{i:06d}.npy")
+    return endpoints
 
+
+def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
+                     key: jax.Array, *, max_per_node: Optional[int] = None,
+                     chunk: int = 1 << 21,
+                     checkpoint_dir: Optional[str] = None) -> WalkIndex:
+    """Run all index walks on device in lane-chunks, then pack the
+    multi-resolution bucketed SpMV layout on the host.  Crash-resume via
+    ``checkpoint_dir`` (see run_walk_chunks).  For graphs whose full CSR
+    exceeds one device's HBM, use
+    fora_tpu.index.build_sharded.build_walk_index_sharded — bit-identical
+    output with the out-CSR row-sharded over the mesh."""
+    n = graph.n
+    deg = np.asarray(graph.out_deg)
+    counts = index_counts(deg, rcfg, max_per_node)
+    total = int(counts.sum())
+    if total + n >= 2**31:
+        raise ValueError(
+            f"walk index ({total} endpoints) exceeds int32 range; shard the "
+            "graph rows first (fora_tpu.parallel) or cap max_per_node")
+
+    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes.
+    # The graph is a jit ARGUMENT (closure constants embed into the HLO and
+    # overflow the remote-compile transport at scale).
+    run = jax.jit(
+        lambda gr, s, k: walk_ops.run_walks(
+            gr, s.reshape(-1, 128), k, alpha=rcfg.alpha,
+            max_hops=rcfg.max_walk_hops).reshape(-1))
+    run = functools.partial(run, graph)
+    endpoints = run_walk_chunks(
+        run, counts, total, key, chunk=chunk,
+        checkpoint_dir=checkpoint_dir,
+        fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops})
     return pack_index(endpoints, counts, deg, rcfg)
 
 
