@@ -117,8 +117,9 @@ class TopkRunner:
         self._accept = bounds_mod.make_topk_bounds_fn(
             self.k, bounds_mod.union_bound_t(rcfg.n, len(self.deltas),
                                              rcfg.pfail), rcfg.epsilon)
-        # start level for the next pool, chosen by the measured cost model
-        # (_update_start_level); later pools skip the levels above it
+        # start level for the next pool: the first level the last pool
+        # accepted anyone at (_update_start_level); later pools skip the
+        # never-accepting levels above it
         self.auto_start_level = 0
         self._pools_since_probe = 0
         self._fns = {}
@@ -254,18 +255,15 @@ class TopkRunner:
             row-gather stops amortizing) once stragglers thin out, so the
             deep-level tail doesn't pay for padding lanes.  Each distinct
             width is one extra set of compiled shapes (cached), and
-          * the START level adapts across pools via a MEASURED COST MODEL
-            (``_update_start_level``): from the last pool's per-level
-            (secs, lanes, accepted) stats it estimates the total cost of
-            every candidate start and picks the argmin (``start_level``
-            overrides).  Starting deeper never weakens the guarantee —
-            each level's acceptance test is self-contained — it only
-            hands early-acceptable queries a finer-than-required answer.
-            Measured (v5e, RMAT 524K/8.4M, eps=.5, k=50, width 512): the
-            shallowest-accepting level accepted 65% of queries, yet
-            skipping it was 25% faster end-to-end (2.94s vs 3.69s per
-            512) — one merged push step converges in 12 supersteps where
-            stepping takes 8+9 (see delta_schedule).
+          * the START level adapts across pools (``_update_start_level``):
+            the next pool starts at the first level this pool ACCEPTED
+            anyone at, skipping never-accepting shallow levels whose push
+            work the resumed deeper push redoes more cheaply as one merged
+            rmax step (``start_level`` overrides; see the method docstring
+            for why a fancier argmin cost model was removed).  Starting
+            deeper never weakens the guarantee — each level's acceptance
+            test is self-contained — it only hands early-acceptable
+            queries a finer-than-required answer.
         """
         import time as _time
         sources = np.asarray(sources)
@@ -407,25 +405,31 @@ class TopkRunner:
                 for lo in range(0, p_all.shape[1], new_width)]
 
     def _update_start_level(self, n_total: int) -> None:
-        """Measured cost model for the next pool's start level.
+        """Pick the next pool's start level: the FIRST level at which this
+        pool accepted anyone.
 
-        From this pool's per-level (secs, width, batches, pending) stats,
-        estimate the total cost of starting the next pool at each executed
-        level s: level s then processes ALL n_total queries at its measured
-        per-lane rate, and every deeper level keeps its observed cost
-        (acceptance at a level is monotone in depth, so starting deeper
-        does not change which queries remain pending below it).  Pick the
-        argmin.  Levels shallower than this pool's start have no stats and
-        cannot win here — the periodic probe in query_pool supplies them.
+        Levels where nothing accepts are pure push-refinement work that
+        the next level's RESUMED push redoes more cheaply as one merged
+        rmax step (measured on v5e: one 3-4x rmax step converges in ~12
+        supersteps where stepping costs 8+9 — see delta_schedule), so
+        skipping them is a strict win.  A per-level argmin cost model was
+        tried here and REMOVED: it extrapolated each level's measured cost
+        — a resumed push over stragglers — to a from-scratch start at that
+        level; at LiveJournal scale (4.2M nodes) it chose the deepest
+        level, whose from-scratch push made pools 10x slower (262 s vs
+        ~25 s per 128 queries), with warmup compile time poisoning the
+        shallow levels' stats on top.  Starting at the first accepting
+        level never weakens the guarantee (each level's acceptance test is
+        self-contained); the periodic probe in query_pool re-checks one
+        level shallower in case the workload drifts.
         """
+        del n_total
         stats = self.last_level_stats
         if not stats:
             return
-        best_level, best_cost = stats[0]["level"], None
-        for i, st in enumerate(stats):
-            rate = st["secs"] / max(st["width"] * st["batches"], 1)
-            pad = -(-n_total // st["width"]) * st["width"]
-            cost = rate * pad + sum(s2["secs"] for s2 in stats[i + 1:])
-            if best_cost is None or cost < best_cost:
-                best_level, best_cost = st["level"], cost
-        self.auto_start_level = best_level
+        first_accepting = stats[-1]["level"]
+        for st in stats:
+            if st["accepted"] > 0:
+                first_accepting = st["level"]
+                break
+        self.auto_start_level = first_accepting
