@@ -311,7 +311,8 @@ def _shard_fora_topk(
     # --- walk phase: shard-local residues feed either the local slice of
     # the multi-resolution index (SpMV over index edges, endpoint mass
     # psum_scattered to row owners) or shard-local raw walk lanes ---
-    n_pad = out_deg.shape[0]
+    n_pad = n_pad_g      # == out_deg.shape[0] when the walk side is real;
+    #                      indexed mode gets dummy walk args (never read)
     overflow = jnp.zeros((Bq,), bool)
     if use_index:
         contrib_all = _indexed_contrib(
@@ -544,9 +545,13 @@ class ShardedForaEngine:
         self.rcfg = rcfg
         self.k = k if k is not None else rcfg.k
         G = mesh.shape[GRAPH_AXIS]
+        self.use_index = index is not None
+        # indexed mode never reads the walk side — don't spend HBM
+        # replicating the out-CSR (~m*4 B/shard); pass tiny dummies
         data = _ShardedPlacement(
             g, mesh, index, exchange=exchange,
-            exchange_capacity_frac=ragged_capacity_frac)
+            exchange_capacity_frac=ragged_capacity_frac,
+            with_walk_side=not self.use_index)
         self.pg = data.pg
 
         if num_lanes is None:
@@ -556,10 +561,20 @@ class ShardedForaEngine:
         self.num_lanes_loc = max(
             1024, int(num_lanes * lane_slack / G) // 1024 * 1024)
 
-        self.use_index = index is not None
         index_depth = (index.depth_for(rcfg.omega_unit, rcfg.rmax)
                        if self.use_index else 0)
-        self._args = data.push_args + data.walk_args + data.index_args
+        if self.use_index:
+            rep_sh = jax.sharding.NamedSharding(mesh, P())
+            walk_args = [
+                jax.device_put(np.zeros(2, np.int32), rep_sh),   # indptr
+                jax.device_put(np.zeros(1, np.int32), rep_sh),   # indices
+                jax.device_put(np.zeros(1, np.int32), rep_sh),   # deg
+                jax.device_put(np.zeros(1, np.float32), rep_sh),  # alias_p
+                jax.device_put(np.zeros(1, np.int32), rep_sh),   # alias_o
+            ]
+        else:
+            walk_args = data.walk_args
+        self._args = data.push_args + walk_args + data.index_args
 
         fn = functools.partial(
             _shard_fora_topk, rcfg=rcfg, n_loc=data.n_loc,
