@@ -11,15 +11,29 @@ micro-batching:
 
 Requests are queued and served in fixed-size batches (padding with repeats)
 on the device; a batch is flushed when full or after ``max_wait_ms``.
-Single-threaded asyncio + one device stream — the TPU is the throughput
-unit, the host only marshals.
+
+Throughput/robustness model:
+  * BACKPRESSURE — the admission queue is bounded (``max_pending``);
+    when it stays full past ``admission_timeout_ms`` the request is shed
+    with {"error": "overloaded"} instead of growing an unbounded backlog
+    (the SLO story: bounded queueing delay, explicit load shedding).
+  * PIPELINING — ``inflight`` batcher tasks (default 2) collect and
+    dispatch independently, so batch i+1 assembles and dispatches while
+    batch i executes on device (jax dispatch is async; query_fn runs in a
+    thread pool sized to match).
+  * Stats counters and futures are only touched on the event loop
+    (the executor thread runs query_fn alone), so they are race-free by
+    construction; ``stats`` reports QPS plus p50/p95/p99 latency over a
+    sliding window.
 """
 
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
 import json
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -27,7 +41,10 @@ import numpy as np
 
 class ForaServer:
     def __init__(self, query_fn, batch: int, k: int, *,
-                 max_wait_ms: float = 5.0, seed: int = 0):
+                 max_wait_ms: float = 5.0, seed: int = 0,
+                 inflight: int = 2, max_pending: Optional[int] = None,
+                 admission_timeout_ms: float = 2000.0,
+                 latency_window: int = 2048):
         """query_fn(sources_i32[batch], seed_int) -> (ids [B,k], vals [B,k])
         — a blocking device call (e.g. wrapping TopkRunner.query)."""
         self.query_fn = query_fn
@@ -35,11 +52,18 @@ class ForaServer:
         self.k = k
         self.max_wait_ms = max_wait_ms
         self.seed = seed
-        self.queue: asyncio.Queue = asyncio.Queue()
+        self.inflight = max(1, inflight)
+        self.admission_timeout = admission_timeout_ms / 1e3
+        self.queue: asyncio.Queue = asyncio.Queue(
+            maxsize=max_pending if max_pending else 4 * batch)
         self.n_queries = 0
         self.n_batches = 0
+        self.n_shed = 0
+        self.latencies: deque = deque(maxlen=latency_window)
         self.t_start = time.time()
         self._server: Optional[asyncio.AbstractServer] = None
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.inflight)
 
     # --- protocol ---
 
@@ -57,9 +81,17 @@ class ForaServer:
                 continue
             if req.get("cmd") == "stats":
                 dt = time.time() - self.t_start
+                lat = sorted(self.latencies)
+                pct = (lambda q: round(
+                    lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3, 2)
+                    if lat else None)
                 writer.write((json.dumps({
                     "queries": self.n_queries, "batches": self.n_batches,
-                    "qps": self.n_queries / max(dt, 1e-9)}) + "\n").encode())
+                    "shed": self.n_shed,
+                    "qps": self.n_queries / max(dt, 1e-9),
+                    "latency_ms_p50": pct(0.50),
+                    "latency_ms_p95": pct(0.95),
+                    "latency_ms_p99": pct(0.99)}) + "\n").encode())
                 await writer.drain()
                 continue
             if "source" not in req:
@@ -67,8 +99,19 @@ class ForaServer:
                 await writer.drain()
                 continue
             fut = asyncio.get_running_loop().create_future()
-            await self.queue.put((int(req["source"]), fut))
+            t_enq = time.monotonic()
+            try:
+                # bounded admission: shed instead of queueing unboundedly
+                await asyncio.wait_for(
+                    self.queue.put((int(req["source"]), fut)),
+                    timeout=self.admission_timeout)
+            except asyncio.TimeoutError:
+                self.n_shed += 1
+                writer.write(b'{"error": "overloaded"}\n')
+                await writer.drain()
+                continue
             ids, vals = await fut
+            self.latencies.append(time.monotonic() - t_enq)
             k = min(int(req.get("k", self.k)), self.k)
             writer.write((json.dumps({
                 "id": req.get("id"),
@@ -97,7 +140,7 @@ class ForaServer:
             self.seed += 1
             loop = asyncio.get_running_loop()
             ids, vals = await loop.run_in_executor(
-                None, self.query_fn, padded, self.seed)
+                self._pool, self.query_fn, padded, self.seed)
             ids, vals = np.asarray(ids), np.asarray(vals)
             self.n_queries += len(batch)
             self.n_batches += 1
@@ -105,15 +148,20 @@ class ForaServer:
                 fut.set_result((ids[i], vals[i]))
 
     async def start(self, host: str = "127.0.0.1", port: int = 8471):
-        self._task = asyncio.create_task(self._batcher())
+        # ``inflight`` independent batchers: batch i+1 assembles/dispatches
+        # while batch i executes on device
+        self._tasks = [asyncio.create_task(self._batcher())
+                       for _ in range(self.inflight)]
         self._server = await asyncio.start_server(self._handle, host, port)
         return self._server.sockets[0].getsockname()[1]
 
     async def stop(self):
-        self._task.cancel()
+        for t in self._tasks:
+            t.cancel()
         if self._server:
             self._server.close()
             await self._server.wait_closed()
+        self._pool.shutdown(wait=False)
 
 
 def serve_forever(query_fn, batch: int, k: int, host="127.0.0.1",

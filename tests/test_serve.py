@@ -63,3 +63,64 @@ def test_server_k_clamp_and_errors():
         await srv.stop()
 
     asyncio.run(main())
+
+
+def test_server_backpressure_sheds_load():
+    """A saturated engine with a bounded queue sheds excess requests with
+    an explicit 'overloaded' error instead of queueing unboundedly."""
+    import time as _time
+
+    def slow_fn(sources, seed):
+        _time.sleep(0.2)
+        return _echo_query_fn(sources, seed)
+
+    async def main():
+        srv = ForaServer(slow_fn, batch=1, k=3, max_wait_ms=1,
+                         inflight=1, max_pending=1,
+                         admission_timeout_ms=30.0)
+        port = await srv.start(port=0)
+        results = await asyncio.gather(
+            *[_roundtrip(port, [{"id": i, "source": i}])
+              for i in range(8)])
+        flat = [r for [r] in results]
+        ok = [r for r in flat if "nodes" in r]
+        shed = [r for r in flat if r.get("error") == "overloaded"]
+        assert len(ok) + len(shed) == 8
+        assert shed, "expected load shedding under saturation"
+        stats = (await _roundtrip(port, [{"cmd": "stats"}]))[0]
+        assert stats["shed"] == len(shed)
+        assert stats["latency_ms_p50"] is not None
+        await srv.stop()
+
+    asyncio.run(main())
+
+
+def test_server_pipelined_batchers():
+    """Two in-flight batchers overlap device calls: 4 sequential-batch
+    seconds of work completes in ~half wall-clock with inflight=2."""
+    import time as _time
+
+    def slow_fn(sources, seed):
+        _time.sleep(0.15)
+        return _echo_query_fn(sources, seed)
+
+    async def run(inflight):
+        srv = ForaServer(slow_fn, batch=2, k=3, max_wait_ms=1,
+                         inflight=inflight, max_pending=64)
+        port = await srv.start(port=0)
+        t0 = _time.monotonic()
+        results = await asyncio.gather(
+            *[_roundtrip(port, [{"id": i, "source": i}])
+              for i in range(8)])
+        dt = _time.monotonic() - t0
+        for i, [r] in enumerate(results):
+            assert r["nodes"][0] == i
+        await srv.stop()
+        return dt
+
+    async def main():
+        seq = await run(1)
+        pipe = await run(2)
+        assert pipe < seq * 0.85, (seq, pipe)
+
+    asyncio.run(main())
