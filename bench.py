@@ -207,12 +207,12 @@ def main():
         idx_dir = CACHE / (f"{TAG}.idx.e{EPS}" +
                            (f".rs{RMAXS:g}" if RMAXS != 1 else ""))
         if (idx_dir / "meta.json").exists():
-            index = widx.load(str(idx_dir), rcfg)
+            index = widx.load(str(idx_dir), rcfg, graph=g)
         else:
             log("building FORA+ walk index ...")
             t0 = time.time()
             index = widx.build_walk_index(dg, rcfg, jax.random.key(SEED))
-            widx.save(index, rcfg, str(idx_dir))
+            widx.save(index, rcfg, str(idx_dir), graph=g)
             log(f"index built in {time.time()-t0:.1f}s "
                 f"({index.total_edges} edges)")
 
@@ -267,12 +267,19 @@ def main():
     from fora_tpu.ops import push as push_ops
     from fora_tpu.utils import profiling
     m_eff = int(dg.in_src.shape[0])
-    step = jax.jit(functools.partial(
-        push_ops.forward_push_from, rmax=0.0, alpha=rcfg.alpha,
-        max_iters=1, max_chunk=CHUNK))
-    st0 = push_ops.init_state(
-        g.n, jnp.asarray(sources[:BATCH], jnp.int32))
-    step_secs = profiling.measure(lambda: step(dg, st0), reps=3, warmup=1)
+
+    # init inside the jit and return only r: one [n, B] output, no
+    # un-donated state pair alongside the resident runner/index (OOM at
+    # 4.2M nodes otherwise); the init memset is ~5 ms vs the ~1 s gather
+    def one_superstep(dgx, srcs):
+        st0 = push_ops.init_state(dgx.n, srcs)
+        return push_ops.forward_push_from(
+            dgx, st0, rmax=0.0, alpha=rcfg.alpha, max_iters=1,
+            max_chunk=CHUNK).r
+
+    step = jax.jit(one_superstep)
+    srcs = jnp.asarray(sources[:BATCH], jnp.int32)
+    step_secs = profiling.measure(lambda: step(dg, srcs), reps=3, warmup=1)
     roof = profiling.SpmvRoofline(edges=m_eff, batch=BATCH, nodes=g.n)
     roof_eff = roof.efficiency(step_secs)
     log(f"push superstep: {step_secs*1e3:.1f}ms for {m_eff} edges @ B={BATCH}"

@@ -179,7 +179,7 @@ def _main(argv=None) -> int:
                 shutil.rmtree(ckpt, ignore_errors=True)
                 idx = widx.build_walk_index(dg, rcfg, key,
                                             checkpoint_dir=str(ckpt))
-        widx.save(idx, rcfg, _index_dir(args))
+        widx.save(idx, rcfg, _index_dir(args), graph=g)
         shutil.rmtree(ckpt, ignore_errors=True)
         info("index built", dir=_index_dir(args),
              endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
@@ -207,7 +207,7 @@ def _main(argv=None) -> int:
                             pfail=args.pfail).resolved(g.n, g.m)
             idx = None
             if args.with_idx:
-                idx = widx.load(_index_dir(args), rc)
+                idx = widx.load(_index_dir(args), rc, graph=g)
             fn = fora_algo.make_fora_fn(dg, rc, index=idx)
             with timers.phase(f"eps={eps}"):
                 res = fn(src, jax.random.fold_in(key, int(eps * 1e6)))
@@ -237,7 +237,7 @@ def _main(argv=None) -> int:
     idx = None
     if args.with_idx:
         from . import index as widx
-        idx = widx.load(_index_dir(args), rcfg)
+        idx = widx.load(_index_dir(args), rcfg, graph=g)
         info("index loaded", dir=_index_dir(args))
 
     if args.action == "serve":

@@ -27,7 +27,24 @@ from .build import WalkIndex
 FORMAT_VERSION = 2
 
 
-def save(index: WalkIndex, rcfg: ResolvedConfig, path: str) -> None:
+def graph_fingerprint(g) -> str:
+    """Content hash of the walk-relevant graph structure (adjacency +
+    weights).  (n, m) alone can't tell two graphs apart — an edge rewire
+    or a weight change with the same shape would silently serve a stale
+    index; walks are distribution-bound to the exact adjacency."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(g.out_indptr).tobytes())
+    h.update(np.ascontiguousarray(g.out_indices).tobytes())
+    if getattr(g, "out_w", None) is not None:
+        h.update(np.ascontiguousarray(g.out_w).tobytes())
+    return h.hexdigest()
+
+
+def save(index: WalkIndex, rcfg: ResolvedConfig, path: str,
+         graph=None) -> None:
+    """``graph`` (CSRGraph or DeviceGraph, optional): records a content
+    fingerprint so load() can refuse a same-shape different graph."""
     d = Path(path)
     d.mkdir(parents=True, exist_ok=True)
     np.save(d / "edge_src.npy", np.asarray(index.edge_src))
@@ -44,10 +61,13 @@ def save(index: WalkIndex, rcfg: ResolvedConfig, path: str) -> None:
         "bucket_offsets": [int(x) for x in index.bucket_offsets],
         "total_edges": int(index.total_edges),
     }
+    if graph is not None:
+        meta["graph_sha"] = graph_fingerprint(graph)
     (d / "meta.json").write_text(json.dumps(meta, indent=1))
 
 
-def check_compatible(meta: dict, rcfg: ResolvedConfig) -> None:
+def check_compatible(meta: dict, rcfg: ResolvedConfig,
+                     graph=None) -> None:
     """An index serves a query config iff graph matches and the index was
     built at least as fine (omega_unit no smaller)."""
     if meta["format_version"] != FORMAT_VERSION:
@@ -57,6 +77,11 @@ def check_compatible(meta: dict, rcfg: ResolvedConfig) -> None:
         raise ValueError("index built for a different graph "
                          f"(n,m)=({meta['n']},{meta['m']}) vs "
                          f"({rcfg.n},{rcfg.m})")
+    if graph is not None and meta.get("graph_sha") is not None \
+            and graph_fingerprint(graph) != meta["graph_sha"]:
+        raise ValueError(
+            "index built for a different graph (content fingerprint "
+            "mismatch at equal (n, m) — edges or weights changed)")
     if abs(meta["alpha"] - rcfg.alpha) > 1e-12:
         raise ValueError("index alpha mismatch")
     if meta["omega_unit"] < rcfg.omega_unit * (1 - 1e-9):
@@ -67,7 +92,7 @@ def check_compatible(meta: dict, rcfg: ResolvedConfig) -> None:
 
 
 def load(path: str, rcfg: Optional[ResolvedConfig] = None,
-         dedup: bool = True) -> WalkIndex:
+         dedup: bool = True, graph=None) -> WalkIndex:
     """``dedup``: indexes saved before the duplicate-merge layout (no
     edge_mult.npy) are upgraded in memory on load — lossless, and strictly
     cheaper to query (see build.py module docstring)."""
@@ -75,7 +100,7 @@ def load(path: str, rcfg: Optional[ResolvedConfig] = None,
     d = Path(path)
     meta = json.loads((d / "meta.json").read_text())
     if rcfg is not None:
-        check_compatible(meta, rcfg)
+        check_compatible(meta, rcfg, graph=graph)
     mult_f = d / "edge_mult.npy"
     idx = WalkIndex(
         edge_src=jnp.asarray(np.load(d / "edge_src.npy")),

@@ -270,3 +270,19 @@ def test_build_checkpoint_resume(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="checkpoint"):
         ib.build_walk_index(dg, rcfg, jax.random.key(99), chunk=chunk,
                             checkpoint_dir=str(ckpt))
+
+
+def test_store_refuses_same_shape_different_graph(tmp_path):
+    """(n, m) alone can't identify a graph: a content-fingerprinted index
+    refuses to serve a rewired or reweighted graph of the same shape."""
+    import pytest
+    from fora_tpu.index import store
+    g1 = generators.erdos_renyi(200, 1500, seed=1)
+    g2 = generators.erdos_renyi(200, 1500, seed=2)   # same (n, m)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g1.n, g1.m)
+    idx = widx.build_walk_index(to_device(g1), rcfg, jax.random.key(0))
+    store.save(idx, rcfg, str(tmp_path / "i"), graph=g1)
+    widx.load(str(tmp_path / "i"), rcfg, graph=g1)          # same graph ok
+    widx.load(str(tmp_path / "i"), rcfg)                    # no graph: legacy
+    with pytest.raises(ValueError, match="fingerprint"):
+        widx.load(str(tmp_path / "i"), rcfg, graph=g2)
