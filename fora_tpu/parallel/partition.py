@@ -135,6 +135,38 @@ def needed_masks(pg: PartitionedGraph) -> np.ndarray:
     return need.reshape(G * G, n_loc)
 
 
+def needed_host_masks(pg: PartitionedGraph, chips_per_host: int
+                      ) -> np.ndarray:
+    """Host-level routing metadata for the hierarchical exchange.
+
+    Returns [G * H, n_loc] bool (H = G / chips_per_host), laid out so shard
+    s sees its own [H, n_loc] block under a P('graph') spec:
+    ``needed_host[s*H + h, i]`` = ANY chip of host h references shard s's
+    local row i — such a row crosses DCN once per needing host and fans
+    out intra-host over ICI (SURVEY.md Sec. 2.3 / 5.8 hierarchical
+    staging)."""
+    G, n_loc = pg.n_shards, pg.n_loc
+    if G % chips_per_host:
+        raise ValueError(f"{chips_per_host} chips/host must divide G={G}")
+    H = G // chips_per_host
+    need = needed_masks(pg).reshape(G, H, chips_per_host, n_loc)
+    return need.any(axis=2).reshape(G * H, n_loc)
+
+
+def host_groups(G: int, chips_per_host: int):
+    """(cross_host_groups, intra_host_groups) over a flat graph axis of
+    size G = H hosts x C chips, host-major shard ids: cross groups hold the
+    same chip position across hosts (the DCN stage's all_to_all peers),
+    intra groups hold one host's chips (the ICI stage's all_gather peers).
+    """
+    H = G // chips_per_host
+    cross = [[h * chips_per_host + c for h in range(H)]
+             for c in range(chips_per_host)]
+    intra = [[h * chips_per_host + c for c in range(chips_per_host)]
+             for h in range(H)]
+    return cross, intra
+
+
 class PartitionedIndex(NamedTuple):
     """FORA+ multi-resolution index edges sharded by SOURCE row (residues
     are row-local; endpoint mass is psum_scattered back to owners).

@@ -29,6 +29,13 @@ Sec. 7.3:
     implements ragged-all-to-all on TPU only (the CPU ThunkEmitter rejects
     it), so this mode is untestable on the virtual CPU mesh — ``routed``
     is the tested, semantically identical stand-in.
+  * ``hier``    — hierarchical ICI/DCN staging (SURVEY.md Sec. 5.8, the
+    multi-host shape): per-destination-HOST compaction, one cross-host
+    all_to_all among same-chip-position shards (a row needed by several
+    chips of a host crosses DCN once), then an intra-host all_gather
+    fan-out over ICI.  Host topology is ``chips_per_host`` static
+    subgroups of the flat graph axis (axis_index_groups — no extra mesh
+    axes).
 
 All supersteps whose frontier exceeds the static capacity fall back to the
 dense exchange via a pmax-agreed lax.cond, so every shard takes the same
@@ -59,7 +66,7 @@ from .mesh import GRAPH_AXIS, QUERY_AXIS, shard_map
 
 P = jax.sharding.PartitionSpec
 
-EXCHANGE_MODES = ("dense", "compact", "routed", "ragged")
+EXCHANGE_MODES = ("dense", "compact", "routed", "ragged", "hier")
 
 
 class ShardedTopkResult(NamedTuple):
@@ -84,9 +91,14 @@ def _dense_all_gather(v, *, pallas_ring=False, pallas_interpret=False,
 
 
 def _frontier_exchange(contrib, *, mode, needed, cap, n_loc, n_pad, G,
-                       pallas_ring=False, pallas_interpret=False):
+                       pallas_ring=False, pallas_interpret=False,
+                       host_groups=None):
     """One frontier exchange: local [n_loc, Bq] contributions in, full
-    [n_pad, Bq] contribution vector out (see module docstring for modes)."""
+    [n_pad, Bq] contribution vector out (see module docstring for modes).
+
+    ``host_groups`` (hier mode): (cross_host_groups, intra_host_groups)
+    from partition.host_groups — static shard-id subgroups of the flat
+    graph axis, so the hierarchy needs no extra mesh axes."""
     dense = functools.partial(_dense_all_gather, pallas_ring=pallas_ring,
                               pallas_interpret=pallas_interpret,
                               n_graph_shards=G)
@@ -97,6 +109,43 @@ def _frontier_exchange(contrib, *, mode, needed, cap, n_loc, n_pad, G,
     g_id = jax.lax.axis_index(GRAPH_AXIS)
     row0 = g_id * n_loc
     row_active = jnp.any(contrib != 0.0, axis=1)               # [n_loc]
+
+    if mode == "hier":
+        # two-stage EP routing: one DCN copy per NEEDING HOST (all_to_all
+        # among same-chip-position shards), then intra-host ICI fan-out
+        # (all_gather among the host's chips).  A row needed by several
+        # chips of a remote host crosses the slow link once.
+        cross, intra = host_groups
+        H = len(intra)
+        act = jnp.logical_and(needed, row_active[None, :])     # [H, n_loc]
+        cnt = jnp.sum(act.astype(jnp.int32), axis=1)           # [H]
+        cnt_max = jax.lax.pmax(jnp.max(cnt), GRAPH_AXIS)
+
+        def hier(c):
+            idx = jax.vmap(
+                lambda a: jnp.nonzero(a, size=cap, fill_value=n_loc)[0])(act)
+            c_pad = jnp.concatenate([c, jnp.zeros((1, Bq), c.dtype)],
+                                    axis=0)
+            send_vals = c_pad[idx]                             # [H, cap, Bq]
+            send_ids = jnp.where(idx < n_loc, idx + row0,
+                                 n_pad).astype(jnp.int32)      # [H, cap]
+            # stage A (DCN): route to the needing host, same chip position
+            recv_ids = jax.lax.all_to_all(
+                send_ids, GRAPH_AXIS, 0, 0, axis_index_groups=cross)
+            recv_vals = jax.lax.all_to_all(
+                send_vals, GRAPH_AXIS, 0, 0, axis_index_groups=cross)
+            # stage B (ICI): share what my host's chips received
+            all_ids = jax.lax.all_gather(
+                recv_ids.reshape(-1), GRAPH_AXIS, axis=0, tiled=True,
+                axis_index_groups=intra)                       # [C*H*cap]
+            all_vals = jax.lax.all_gather(
+                recv_vals.reshape(-1, Bq), GRAPH_AXIS, axis=0, tiled=True,
+                axis_index_groups=intra)                       # [C*H*cap, Bq]
+            full = jnp.zeros((n_pad + 1, Bq), c.dtype)
+            full = full.at[all_ids].add(all_vals)
+            return full[:n_pad]
+
+        return jax.lax.cond(cnt_max <= cap, hier, dense, contrib)
 
     if mode == "compact":
         # broadcast compaction: <= cap (global id, row) pairs all-gathered
@@ -159,11 +208,15 @@ def _frontier_exchange(contrib, *, mode, needed, cap, n_loc, n_pad, G,
 
 
 def exchange_bytes_model(mode: str, *, n_loc: int, batch: int, G: int,
-                         cap: int = 0, active_rows=None) -> int:
+                         cap: int = 0, active_rows=None,
+                         chips_per_host: int = 1) -> int:
     """Bytes leaving ONE shard per superstep under each exchange mode
     (f32 rows + i32 ids; capacity-padded for the static-shape modes).
     ``active_rows``: per-destination actual counts (ragged mode's wire
-    volume); defaults to the worst case."""
+    volume); defaults to the worst case.  For "hier" this returns the
+    CROSS-HOST (DCN) bytes — the scaling-limiting term; the intra-host
+    ICI fan-out adds (C-1)*H*cap rows on the fast links
+    (hier_ici_bytes_model)."""
     row = batch * 4
     if mode == "dense":
         return (G - 1) * n_loc * row
@@ -174,7 +227,18 @@ def exchange_bytes_model(mode: str, *, n_loc: int, batch: int, G: int,
     if mode == "ragged":
         a = (G - 1) * cap if active_rows is None else int(np.sum(active_rows))
         return a * (row + 4)
+    if mode == "hier":
+        H = G // chips_per_host
+        return (H - 1) * cap * (row + 4)
     raise ValueError(mode)
+
+
+def hier_ici_bytes_model(*, batch: int, G: int, cap: int,
+                         chips_per_host: int) -> int:
+    """Intra-host (ICI) bytes per shard for the hier exchange's fan-out
+    stage: all_gather of the [H, cap] received blocks among C chips."""
+    H = G // chips_per_host
+    return (chips_per_host - 1) * H * cap * (batch * 4 + 4)
 
 
 def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
@@ -270,6 +334,7 @@ def _shard_fora_topk(
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
     exchange: str = "dense", exchange_cap: int = 0, weighted: bool = False,
+    host_groups=None,
 ):
     G = n_graph_shards
     g_id = jax.lax.axis_index(GRAPH_AXIS)
@@ -301,7 +366,7 @@ def _shard_fora_topk(
     exchange_fn = functools.partial(
         _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
         n_loc=n_loc, n_pad=n_pad_g, G=G, pallas_ring=pallas_ring,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, host_groups=host_groups)
     p, r, iters = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                              alpha=alpha, max_iters=rcfg.max_push_iters,
                              n_loc=n_loc, exchange_fn=exchange_fn,
@@ -375,7 +440,7 @@ def _shard_level_step(
     *, rcfg: ResolvedConfig, n_loc: int, k: int, index_depth: int,
     index_bucket_offsets, index_has_mult: bool, n_graph_shards: int,
     exchange: str, exchange_cap: int, t_bound: float,
-    weighted: bool = False,
+    weighted: bool = False, host_groups=None,
 ):
     """One delta level of the sharded refinement pool: resume push from
     (p0, r0) to the level's per-node coverage threshold, indexed walk
@@ -397,7 +462,7 @@ def _shard_level_step(
 
     exchange_fn = functools.partial(
         _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
-        n_loc=n_loc, n_pad=n_pad, G=G)
+        n_loc=n_loc, n_pad=n_pad, G=G, host_groups=host_groups)
     p, r, _ = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                          alpha=rcfg.alpha, max_iters=rcfg.max_push_iters,
                          n_loc=n_loc, exchange_fn=exchange_fn,
@@ -459,7 +524,8 @@ class _ShardedPlacement:
 
     def __init__(self, g: CSRGraph, mesh, index=None, *,
                  exchange: str = "dense", exchange_capacity_frac: float = 0.125,
-                 with_walk_side: bool = True):
+                 with_walk_side: bool = True,
+                 chips_per_host: Optional[int] = None):
         self.mesh = mesh
         G = mesh.shape[GRAPH_AXIS]
         self.G = G
@@ -468,7 +534,14 @@ class _ShardedPlacement:
         self.exchange = exchange
         self.exchange_cap = (
             max(64, int(pg.n_loc * exchange_capacity_frac) // 8 * 8)
-            if exchange in ("compact", "routed", "ragged") else 0)
+            if exchange in ("compact", "routed", "ragged", "hier") else 0)
+        self.host_groups = None
+        if exchange == "hier":
+            if chips_per_host is None or G % chips_per_host:
+                raise ValueError(
+                    "exchange='hier' needs chips_per_host dividing the "
+                    f"graph-axis size {G}")
+            self.host_groups = part.host_groups(G, chips_per_host)
 
         def put(x, spec):
             return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
@@ -477,6 +550,8 @@ class _ShardedPlacement:
         gspec = self.gspec
         if exchange in ("routed", "ragged"):
             needed = part.needed_masks(pg)                  # [G*G, n_loc]
+        elif exchange == "hier":
+            needed = part.needed_host_masks(pg, chips_per_host)
         else:
             needed = np.zeros((G, 1), dtype=bool)           # dummy
         self.weighted = pg.weighted
@@ -539,7 +614,8 @@ class ShardedForaEngine:
                  pallas_ring: bool = False, pallas_interpret: bool = False,
                  exchange: Optional[str] = None,
                  ragged_exchange: bool = False,
-                 ragged_capacity_frac: float = 0.125):
+                 ragged_capacity_frac: float = 0.125,
+                 chips_per_host: Optional[int] = None):
         exchange = _resolve_exchange(exchange, ragged_exchange, pallas_ring)
         self.mesh = mesh
         self.rcfg = rcfg
@@ -551,7 +627,8 @@ class ShardedForaEngine:
         data = _ShardedPlacement(
             g, mesh, index, exchange=exchange,
             exchange_capacity_frac=ragged_capacity_frac,
-            with_walk_side=not self.use_index)
+            with_walk_side=not self.use_index,
+            chips_per_host=chips_per_host)
         self.pg = data.pg
 
         if num_lanes is None:
@@ -584,7 +661,8 @@ class ShardedForaEngine:
             index_bucket_offsets=data.index_bucket_offsets,
             pallas_ring=pallas_ring, pallas_interpret=pallas_interpret,
             n_graph_shards=G, exchange=exchange,
-            exchange_cap=data.exchange_cap, weighted=data.weighted)
+            exchange_cap=data.exchange_cap, weighted=data.weighted,
+            host_groups=data.host_groups)
         gspec, rep = data.gspec, data.rep
         mapped = shard_map(
             fn, mesh,
@@ -619,7 +697,8 @@ class ShardedTopkRunner(TopkRunner):
                  rcfg: ResolvedConfig, index, *, k: Optional[int] = None,
                  delta_stride: float = 2.0, accept_slack: float = 1.0,
                  exchange: Optional[str] = None,
-                 exchange_capacity_frac: float = 0.125):
+                 exchange_capacity_frac: float = 0.125,
+                 chips_per_host: Optional[int] = None):
         if index is None:
             raise ValueError("ShardedTopkRunner requires a walk index")
         exchange = _resolve_exchange(exchange, False, False)
@@ -633,7 +712,7 @@ class ShardedTopkRunner(TopkRunner):
         self._data = _ShardedPlacement(
             g, mesh, index, exchange=exchange,
             exchange_capacity_frac=exchange_capacity_frac,
-            with_walk_side=False)
+            with_walk_side=False, chips_per_host=chips_per_host)
         self._exchange = exchange
         from ..algo import bounds as bounds_mod
         self._t_bound = bounds_mod.union_bound_t(
@@ -666,7 +745,7 @@ class ShardedTopkRunner(TopkRunner):
                 index_has_mult=data.index_has_mult,
                 n_graph_shards=self.G, exchange=self._exchange,
                 exchange_cap=data.exchange_cap, t_bound=self._t_bound,
-                weighted=data.weighted)
+                weighted=data.weighted, host_groups=data.host_groups)
             gspec = data.gspec
             st = P(GRAPH_AXIS, QUERY_AXIS)
             q = P(QUERY_AXIS)

@@ -37,7 +37,11 @@ def main():
     ap.add_argument("--meshes", default="1,2,4,8")
     ap.add_argument("--indexed", action="store_true")
     ap.add_argument("--exchange", default="dense",
-                    choices=["dense", "compact", "routed", "ragged"])
+                    choices=["dense", "compact", "routed", "ragged",
+                             "hier"])
+    ap.add_argument("--chips-per-host", type=int, default=2,
+                    help="host grouping for the hier exchange / its "
+                         "bytes model")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu-devices", type=int, default=8,
                     help="virtual CPU devices (0 = use real devices)")
@@ -67,8 +71,13 @@ def main():
         if gshards > len(jax.devices()):
             break
         mesh = make_mesh(gshards, 1, devices=jax.devices()[:gshards])
+        cph = (args.chips_per_host
+               if args.exchange == "hier" and gshards % args.chips_per_host == 0
+               else None)
         eng = ShardedForaEngine(g, mesh, rcfg, k=args.k, index=index,
-                                exchange=args.exchange)
+                                exchange=("dense" if args.exchange == "hier"
+                                          and cph is None else args.exchange),
+                                chips_per_host=cph)
         eng.topk(sources, jax.random.key(1)).values.block_until_ready()
         t0 = time.time()
         for i in range(args.reps):
@@ -86,6 +95,10 @@ def main():
         bw = {mode: exchange_bytes_model(
             mode, n_loc=n_loc, batch=args.batch, G=gshards,
             cap=cap) for mode in ("dense", "compact", "routed")}
+        if gshards % args.chips_per_host == 0:
+            bw["hier_dcn"] = exchange_bytes_model(
+                "hier", n_loc=n_loc, batch=args.batch, G=gshards, cap=cap,
+                chips_per_host=args.chips_per_host)
         print(json.dumps({"graph_shards": gshards, "qps": round(qps, 2),
                           "ms_per_batch": round(dt * 1e3, 1),
                           "efficiency_vs_1shard": round(eff, 3),

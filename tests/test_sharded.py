@@ -221,6 +221,59 @@ def test_sharded_pool_matches_single_chip():
     assert np.all(got.values <= got.upper_bounds + 1e-7)
 
 
+def test_hier_exchange_matches_dense():
+    """The hierarchical (cross-host all_to_all + intra-host all_gather)
+    exchange is a pure comm-layout change: bit-identical results vs the
+    dense path on a 4-shard graph axis modeled as 2 hosts x 2 chips,
+    including capacity-overflow fallback supersteps."""
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(4, 2)
+    dense = ShardedForaEngine(g, mesh, rcfg, k=10)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    want = dense.topk(jnp.asarray(sources), jax.random.key(5))
+    for frac in (0.5, 0.02):
+        eng = ShardedForaEngine(g, mesh, rcfg, k=10, exchange="hier",
+                                chips_per_host=2,
+                                ragged_capacity_frac=frac)
+        res = eng.topk(jnp.asarray(sources), jax.random.key(5))
+        assert np.array_equal(np.asarray(res.node_ids),
+                              np.asarray(want.node_ids)), frac
+        np.testing.assert_allclose(np.asarray(res.values),
+                                   np.asarray(want.values), rtol=1e-5)
+
+
+def test_hier_exchange_pool_runner():
+    g, rcfg = _graph_and_cfg(n=400, m=4000)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(7))
+    mesh = make_mesh(4, 2)
+    dense = ShardedTopkRunner(g, mesh, rcfg, idx, k=10)
+    hier = ShardedTopkRunner(g, mesh, rcfg, idx, k=10, exchange="hier",
+                             chips_per_host=2)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    key = jax.random.key(11)
+    want = dense.query_pool(sources, key, batch=8)
+    got = hier.query_pool(sources, key, batch=8)
+    assert np.array_equal(want.node_ids, got.node_ids)
+
+
+def test_needed_host_masks_and_dcn_bytes():
+    """Host masks OR the chip masks; hier's DCN volume beats routed's
+    whenever a row is needed by >1 chip of a host (the staging's point)."""
+    from fora_tpu.parallel.partition import needed_host_masks
+    g, _ = _graph_and_cfg()
+    G, C = 4, 2
+    pg = partition_rows(g, G)
+    chip = needed_masks(pg).reshape(G, G, pg.n_loc)
+    host = needed_host_masks(pg, C).reshape(G, G // C, pg.n_loc)
+    want = chip.reshape(G, G // C, C, pg.n_loc).any(axis=2)
+    assert np.array_equal(host, want)
+    kw = dict(n_loc=65536, batch=128, G=8, cap=1024)
+    routed = exchange_bytes_model("routed", **kw)
+    hier_dcn = exchange_bytes_model("hier", chips_per_host=4, **kw)
+    assert hier_dcn < routed / 4   # (H-1) pairs vs (G-1)
+
+
 def test_sharded_pool_routed_exchange():
     g, rcfg = _graph_and_cfg(n=400, m=4000)
     dg = to_device(g)
