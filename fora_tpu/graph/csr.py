@@ -1,4 +1,4 @@
-"""Graph substrate: CSR / ELL packing and the on-device graph pytree.
+"""Graph substrate: CSR packing and the on-device graph pytree.
 
 The reference keeps the graph as ``vector<vector<int>>`` adjacency lists
 [R: graph.h — reconstruction, SURVEY.md Sec. 2.1].  The TPU-native layout is
@@ -218,66 +218,8 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
     )
 
 
-# ---------------------------------------------------------------------------
-# ELL packing (for the Pallas push kernel): pad rows of the *in*-adjacency to
-# a fixed width; hub rows (in_deg > width) are split into multiple ELL rows
-# that all accumulate into the same destination node.
-# ---------------------------------------------------------------------------
-
-class ELLGraph(NamedTuple):
-    """Padded in-adjacency. Row i of ``cols`` holds up to W in-neighbors of
-    node ``row_node[i]``; padding slots hold sentinel ``n`` (callers gather
-    from a contrib array padded with one trailing zero)."""
-
-    cols: np.ndarray      # [rows, W] int32, in-neighbor (src) ids, pad = n
-    row_node: np.ndarray  # [rows]    int32, destination node of this ELL row
-    n: int
-    width: int
-
-    @property
-    def rows(self) -> int:
-        return int(self.cols.shape[0])
-
-
-def pack_ell(g: CSRGraph, width: int = 128, row_multiple: int = 8) -> ELLGraph:
-    """Pack the dst-sorted in-edge list into split-row ELL blocks.
-
-    Hub destinations with in_deg > width become ceil(in_deg/width) rows. The
-    total row count is padded to ``row_multiple`` (TPU sublane alignment);
-    padding rows point at node n-1 with zero valid columns (harmless: they
-    accumulate zeros).
-    """
-    n = g.n
-    in_deg = g.in_deg.astype(np.int64)
-    rows_per_node = np.maximum(1, -(-in_deg // width))  # ceil, min 1 row
-    total_rows = int(rows_per_node.sum())
-    padded_rows = -(-total_rows // row_multiple) * row_multiple
-
-    cols = np.full((padded_rows, width), n, dtype=np.int32)
-    row_node = np.full(padded_rows, max(n - 1, 0), dtype=np.int32)
-
-    row_start = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(rows_per_node, out=row_start[1:])
-    # in-edges are sorted by dst: node v's in-neighbors are
-    # in_src[in_indptr[v]:in_indptr[v+1]]
-    in_indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(in_deg, out=in_indptr[1:])
-
-    # vectorized fill: for each edge e (dst-sorted), its position within its
-    # dst's run is e - in_indptr[dst[e]]; row = row_start[dst] + pos // width,
-    # col = pos % width.
-    if g.m:
-        dst = g.in_dst.astype(np.int64)
-        pos = np.arange(g.m, dtype=np.int64) - in_indptr[dst]
-        r = row_start[dst] + pos // width
-        c = pos % width
-        cols[r, c] = g.in_src
-    node_ids = np.repeat(np.arange(n, dtype=np.int32), rows_per_node)
-    row_node[: total_rows] = node_ids
-    return ELLGraph(cols=cols, row_node=row_node, n=n, width=width)
-
-
-def ell_padding_waste(e: ELLGraph, m: int) -> float:
-    """Fraction of ELL slots that are padding (SURVEY 7.3: cap ~2x blowup)."""
-    slots = e.cols.size
-    return 1.0 - (m / slots) if slots else 0.0
+# The M2 ELL-packed Pallas push kernel is RETIRED after two measured
+# attempts (see ARCHITECTURE.md "Pallas push kernel: retired" and
+# scripts/pallas_gather_probe.py): XLA's random row-gather is the
+# practical per-element ceiling on this hardware, so the padded-ELL
+# packer that existed solely to feed that kernel was removed with it.

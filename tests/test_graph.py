@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from fora_tpu.graph import (
-    from_edges, pack_ell, ell_padding_waste, build_alias, generators, io,
+    from_edges, build_alias, generators, io,
 )
 
 
@@ -51,35 +51,6 @@ def test_generators_shapes():
     assert g.n == 256 and g.m == 1000
     # RMAT should be skewed: max degree well above mean
     assert g.out_deg.max() > 3 * g.out_deg.mean()
-
-
-def test_ell_pack_gather_equivalence():
-    """Gather-sum over ELL rows == segment_sum over in-edges."""
-    g = generators.erdos_renyi(200, 2000, seed=3)
-    e = pack_ell(g, width=16)
-    rng = np.random.default_rng(0)
-    contrib = rng.random(g.n + 1)
-    contrib[-1] = 0.0  # sentinel slot
-    # ELL path: sum gathered contribs per row, accumulate into row_node
-    row_sums = contrib[e.cols].sum(axis=1)
-    ell_out = np.zeros(g.n)
-    np.add.at(ell_out, e.row_node, row_sums)
-    # reference path
-    ref = np.bincount(g.in_dst, weights=contrib[g.in_src], minlength=g.n)
-    np.testing.assert_allclose(ell_out, ref, rtol=1e-12)
-
-
-def test_ell_hub_splitting():
-    g = generators.star_graph(100)  # node 1..99 have in_deg 1; node 0 in_deg 0
-    # reverse: make node 0 the hub destination
-    src = np.arange(1, 100)
-    dst = np.zeros(99, dtype=np.int64)
-    g = from_edges(src, dst, 100)
-    e = pack_ell(g, width=8)
-    hub_rows = (e.row_node == 0).sum()
-    assert hub_rows >= 13  # ceil(99/8)
-    waste = ell_padding_waste(e, g.m)
-    assert waste < 0.95
 
 
 def test_alias_uniform_identity():
