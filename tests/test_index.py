@@ -286,3 +286,35 @@ def test_store_refuses_same_shape_different_graph(tmp_path):
     widx.load(str(tmp_path / "i"), rcfg)                    # no graph: legacy
     with pytest.raises(ValueError, match="fingerprint"):
         widx.load(str(tmp_path / "i"), rcfg, graph=g2)
+
+
+def test_segmented_push_matches_single_program():
+    """The host-segmented push (the 60s-execution-watchdog guard) is
+    equivalent to one uncapped while_loop program: forcing 1-superstep
+    segments changes nothing but the program count."""
+    from fora_tpu.algo import fora as fora_algo
+    import jax.numpy as jnp
+    g = generators.erdos_renyi(300, 3000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    one = fora_algo.StagedForaPrograms(dg, rcfg, idx)          # ~1 segment
+    tiny = fora_algo.StagedForaPrograms(dg, rcfg, idx,
+                                        push_segment_secs=1e-9)
+    assert tiny._segment_iters(8) == 4          # floor
+    from fora_tpu.ops import push as push_ops
+    src = jnp.asarray(np.arange(8), jnp.int32)
+    st1 = push_ops.init_state(g.n, src)
+    st2 = push_ops.init_state(g.n, src)
+    r1, p1, res_r1 = one.state_fn(0)(st1.p, st1.r, None,
+                                     np.float32(rcfg.rmax),
+                                     np.float32(rcfg.omega_unit))
+    r2, p2, res_r2 = tiny.state_fn(0)(st2.p, st2.r, None,
+                                      np.float32(rcfg.rmax),
+                                      np.float32(rcfg.omega_unit))
+    np.testing.assert_allclose(np.asarray(r1.ppr), np.asarray(r2.ppr),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_r1), np.asarray(res_r2),
+                               rtol=1e-6)
+    assert int(r1.push_iters) == int(r2.push_iters)
