@@ -223,7 +223,22 @@ def main():
     key = jax.random.key(SEED + 2)
     pool_w = min(POOL, QUERIES)
     n_q = (QUERIES // pool_w) * pool_w
+    if n_q != QUERIES:
+        raise SystemExit(
+            f"FORA_BENCH_QUERIES={QUERIES} must be a multiple of the pool "
+            f"width {pool_w} (would silently drop {QUERIES - n_q} queries)")
+    if EVAL_N > n_q:
+        raise SystemExit(
+            f"FORA_BENCH_EVAL={EVAL_N} exceeds the {n_q} queries run")
     pools = [sources[i:i + pool_w] for i in range(0, n_q, pool_w)]
+
+    # persisted start level: skip the dead shallow levels on cold starts
+    # (they accept nobody at this scale and cost ~67 s of push each run)
+    stats_path = CACHE / (f"{TAG}.levelstats.e{EPS}.k{K}" +
+                          (f".rs{RMAXS:g}" if RMAXS != 1 else "") + ".json")
+    graph_sha = widx.graph_fingerprint(g)
+    if runner.load_level_stats(stats_path, graph_sha):
+        log(f"start level {runner.auto_start_level} (persisted stats)")
 
     # warmup: compile all delta levels of the pool path once, at the FULL
     # pool width — the pool-state ops (init scatter, re-take, concat) are
@@ -236,6 +251,7 @@ def main():
     warmup_secs = time.time() - t0
     log(f"warmup done in {warmup_secs:.1f}s (levels: {warm.levels_used}, "
         f"next start level: {runner.auto_start_level})")
+    runner.save_level_stats(stats_path, graph_sha)
     for st in getattr(runner, "last_level_stats", []):
         log(f"  warmup level {st['level']}: pending={st['pending']} "
             f"accepted={st['accepted']} {st['secs']}s")

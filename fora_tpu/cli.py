@@ -81,9 +81,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-k refinement delta divisor per level")
     p.add_argument("--accept-slack", type=float, default=1.0,
                    help=">1 tightens the top-k stopping rule")
+    p.add_argument("--start-level", type=int, default=None,
+                   help="pin batch-topk's first delta level (default: "
+                        "learned/persisted first-accepting level)")
     p.add_argument("--bf16-gather", action="store_true",
                    help="bf16 hot-path gathers (half bandwidth, ~0.4%% "
                         "per-contribution error)")
+    p.add_argument("--graph-shards", type=int, default=1,
+                   help="row-shard the graph (+ index) over this many "
+                        "devices on the mesh 'graph' axis; batch-topk and "
+                        "serve then run the sharded refinement pool "
+                        "(requires --with-idx)")
+    p.add_argument("--query-shards", type=int, default=None,
+                   help="devices on the mesh 'query' axis (default: "
+                        "n_devices // graph_shards)")
+    p.add_argument("--exchange", default=None,
+                   choices=["dense", "compact", "routed", "ragged", "hier"],
+                   help="frontier exchange mode for the sharded push "
+                        "(default dense; hier needs --chips-per-host)")
+    p.add_argument("--chips-per-host", type=int, default=None,
+                   help="exchange=hier: devices per host for the ICI/DCN "
+                        "two-stage exchange")
+    p.add_argument("--output", default=None,
+                   help="write per-query results (JSONL: source, ids, vals)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--runlog", default=None, help="JSONL metrics path")
     p.add_argument("--eval-exact", action="store_true",
@@ -104,6 +124,50 @@ def _load(args):
     g = graph_io.load_dataset(args.prefix, args.dataset)
     info("graph loaded", n=g.n, m=g.m, secs=f"{time.perf_counter()-t0:.2f}")
     return g
+
+
+def _make_topk_runner(args, g, dg, rcfg, idx):
+    """TopkRunner (single-chip) or ShardedTopkRunner (--graph-shards > 1,
+    rows + index sharded over the mesh 'graph' axis) per the CLI flags."""
+    import jax.numpy as jnp
+    from .algo import topk as topk_algo
+    if args.graph_shards <= 1:
+        return topk_algo.TopkRunner(
+            dg, rcfg, k=args.k, index=idx,
+            delta_stride=args.delta_stride,
+            accept_slack=args.accept_slack,
+            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
+    from .parallel import ShardedTopkRunner, make_mesh
+    if idx is None:
+        raise ValueError("--graph-shards > 1 requires --with-idx (the "
+                         "sharded refinement pool runs FORA+ indexed walks)")
+    mesh = make_mesh(args.graph_shards, args.query_shards)
+    nq = mesh.shape["query"]
+    if args.batch % nq:
+        raise ValueError(f"--batch {args.batch} must divide by the "
+                         f"query-axis size {nq}")
+    info("sharded mesh", graph=mesh.shape["graph"], query=nq,
+         exchange=args.exchange or "dense")
+    return ShardedTopkRunner(
+        g, mesh, rcfg, idx, k=args.k, delta_stride=args.delta_stride,
+        accept_slack=args.accept_slack, exchange=args.exchange,
+        chips_per_host=args.chips_per_host)
+
+
+def _level_stats_path(args) -> Path:
+    return Path(_index_dir(args)) / "level_stats.json"
+
+
+def _write_output(path: str, results: dict) -> None:
+    """Per-query results as JSONL (source, ids, vals) — the machine-readable
+    counterpart of the reference's per-query result files."""
+    with open(path, "w") as f:
+        for s, (ids, vals) in sorted(results.items()):
+            f.write(json.dumps({
+                "source": int(s),
+                "ids": [int(x) for x in ids],
+                "vals": [float(x) for x in vals]}) + "\n")
+    info("results written", path=path, count=len(results))
 
 
 def _batched(sources: np.ndarray, batch: int):
@@ -158,7 +222,11 @@ def _main(argv=None) -> int:
         print(timers.report(), file=sys.stderr)
         return 0
 
-    dg = to_device(g)
+    sharded = args.graph_shards > 1
+    if sharded and args.action not in ("batch-topk", "serve"):
+        raise ValueError("--graph-shards applies to batch-topk and serve")
+    # sharded runs place rows per shard; never replicate the device graph
+    dg = None if sharded else to_device(g)
 
     if args.action == "build":
         import shutil
@@ -234,24 +302,25 @@ def _main(argv=None) -> int:
         print(timers.report(), file=sys.stderr)
         return 0
 
-    idx = None
+    idx, graph_sha = None, None
     if args.with_idx:
         from . import index as widx
         idx = widx.load(_index_dir(args), rcfg, graph=g)
+        graph_sha = widx.graph_fingerprint(g)
         info("index loaded", dir=_index_dir(args))
 
     if args.action == "serve":
-        from .algo import topk as topk_algo
         from .serve import serve_forever
-        runner = topk_algo.TopkRunner(
-            dg, rcfg, k=args.k, index=idx,
-            delta_stride=args.delta_stride,
-            accept_slack=args.accept_slack,
-            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
+        runner = _make_topk_runner(args, g, dg, rcfg, idx)
+        if idx is not None and runner.load_level_stats(
+                _level_stats_path(args), graph_sha):
+            info("start level from persisted stats",
+                 level=runner.auto_start_level)
 
         def query_fn(sources, seed):
-            res = runner.query(jnp.asarray(sources),
-                               jax.random.key(seed))
+            res = runner.query_pool(np.asarray(sources),
+                                    jax.random.key(seed),
+                                    batch=args.batch)
             return res.node_ids, res.values
 
         serve_forever(query_fn, batch=args.batch, k=args.k, port=args.port)
@@ -319,24 +388,25 @@ def _main(argv=None) -> int:
                                           np.asarray(vals[b]))
     elif args.action == "batch-topk":
         # level-pipelined pool scheduling: accepted queries exit early,
-        # stragglers re-batch at deeper delta levels
-        from .algo import topk as topk_algo
-        runner = topk_algo.TopkRunner(
-            dg, rcfg, k=args.k, index=idx,
-            delta_stride=args.delta_stride,
-            accept_slack=args.accept_slack,
-            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
+        # stragglers re-batch at deeper delta levels; --graph-shards > 1
+        # runs the same pool shard_mapped over the ('graph','query') mesh
+        runner = _make_topk_runner(args, g, dg, rcfg, idx)
+        if idx is not None and args.start_level is None and \
+                runner.load_level_stats(_level_stats_path(args), graph_sha):
+            info("start level from persisted stats",
+                 level=runner.auto_start_level)
         with timers.phase("topk"):
-            res = runner.query_pool(sources, key, batch=args.batch)
+            res = runner.query_pool(sources, key, batch=args.batch,
+                                    start_level=args.start_level)
         for i, s in enumerate(sources):
             results[int(s)] = (res.node_ids[i], res.values[i])
+        if idx is not None and args.start_level is None:
+            try:
+                runner.save_level_stats(_level_stats_path(args), graph_sha)
+            except OSError:
+                pass  # read-only index dir
     else:  # topk
-        from .algo import topk as topk_algo
-        runner = topk_algo.TopkRunner(
-            dg, rcfg, k=args.k, index=idx,
-            delta_stride=args.delta_stride,
-            accept_slack=args.accept_slack,
-            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
+        runner = _make_topk_runner(args, g, dg, rcfg, idx)
         for chunk, valid in _batched(sources, args.batch):
             res = timers.timed("topk", runner.query, jnp.asarray(chunk),
                                jax.random.fold_in(key, int(chunk[0])))
@@ -347,6 +417,9 @@ def _main(argv=None) -> int:
     qps = n_q / max(timers.total.get("query", 0) + timers.total.get("topk", 0),
                     1e-9)
     info("queries done", count=n_q, qps=f"{qps:.2f}")
+
+    if args.output:
+        _write_output(args.output, results)
 
     if args.eval_exact:
         from .algo import exact

@@ -38,15 +38,28 @@ def load_attribute(dataset_dir: Path) -> tuple[int, int]:
     return n, m
 
 
-def _detect_weighted(path: Path) -> bool:
-    """True if the first data line of graph.txt has a third column."""
+def _detect_weighted(path: Path, sample: int = 1024) -> bool:
+    """True if graph.txt carries a third (weight) column.  Scans a sample
+    of data lines, not just the first: a mixed-width file (some lines with
+    weights, some without) is ambiguous and raises rather than silently
+    dropping weights or crashing deep inside the parser."""
+    widths = set()
+    seen = 0
     with open(path) as f:
         for line in f:
             t = line.strip()
             if not t or t[0] in "#%":
                 continue
-            return len(t.split()) >= 3
-    return False
+            widths.add(min(len(t.split()), 3))
+            seen += 1
+            if seen >= sample:
+                break
+    if len(widths) > 1:
+        raise ValueError(
+            f"{path}: mixed column counts {sorted(widths)} in the first "
+            f"{seen} data lines — weighted edge lists must carry the third "
+            "column on every line")
+    return widths == {3}
 
 
 def load_dataset(prefix: str, dataset: str, use_cache: bool = True) -> CSRGraph:

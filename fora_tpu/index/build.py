@@ -227,10 +227,14 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
             gr, s.reshape(-1, 128), k, alpha=rcfg.alpha,
             max_hops=rcfg.max_walk_hops).reshape(-1))
     run = functools.partial(run, graph)
+    from .store import graph_fingerprint
     endpoints = run_walk_chunks(
         run, counts, total, key, chunk=chunk,
         checkpoint_dir=checkpoint_dir,
-        fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops})
+        # graph content hash: resuming against a rewired same-shape graph
+        # must refuse, not silently mix endpoint chunks from two graphs.
+        fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
+                     "graph_sha": graph_fingerprint(graph)})
     return pack_index(endpoints, counts, deg, rcfg)
 
 

@@ -158,10 +158,12 @@ def build_walk_index_sharded(g: CSRGraph, mesh: jax.sharding.Mesh,
     def run(s_chunk, chunk_key):
         return jitted(s_chunk, chunk_key, *args)
 
+    from .store import graph_fingerprint
     endpoints = ib.run_walk_chunks(
         run, counts, total, key, chunk=chunk,
         checkpoint_dir=checkpoint_dir,
-        fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops})
+        fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
+                     "graph_sha": graph_fingerprint(g)})
     return ib.pack_index(endpoints, counts, deg, rcfg)
 
 

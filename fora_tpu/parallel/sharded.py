@@ -480,12 +480,16 @@ def _shard_level_step(
     # --- global top-(k+1) with per-node settled mass, then the same
     # Bernstein UB/LB acceptance math as bounds._topk_with_bounds ---
     from ..ops.topk import topk_rows_chunked
-    kk = k + 1
-    lv, li, lp = topk_rows_chunked(ppr_loc, kk, p)            # [Bq, kk]
+    # Mirror bounds._topk_with_bounds' clamp: a shard holds only n_loc
+    # candidates, and with k >= n_pad nothing is excluded (small graphs /
+    # many shards) — vals[:, k] would otherwise index out of range.
+    kk_loc = min(k + 1, n_loc)
+    lv, li, lp = topk_rows_chunked(ppr_loc, kk_loc, p)        # [Bq, kk_loc]
     gi = li + row0
     cand_v = jax.lax.all_gather(lv, GRAPH_AXIS, axis=1, tiled=True)
     cand_p = jax.lax.all_gather(lp, GRAPH_AXIS, axis=1, tiled=True)
     cand_i = jax.lax.all_gather(gi, GRAPH_AXIS, axis=1, tiled=True)
+    kk = min(k + 1, G * kk_loc)
     vals, sel = jax.lax.top_k(cand_v, kk)                     # [Bq, kk]
     idx = jnp.take_along_axis(cand_i, sel, axis=1)
     p_at = jnp.take_along_axis(cand_p, sel, axis=1)
@@ -496,7 +500,10 @@ def _shard_level_step(
     lb = p_at[:, :k] + bounds_mod.bernstein_lb(mu_hat, c, t_bound, ub=ub_mu)
     ub = p_at[:, :k] + ub_mu
     lbk = jnp.min(lb, axis=1)
-    ub_excluded = bounds_mod.bernstein_ub(vals[:, k], c, t_bound)
+    if kk > k:
+        ub_excluded = bounds_mod.bernstein_ub(vals[:, k], c, t_bound)
+    else:  # k >= n_pad: nothing is excluded
+        ub_excluded = jnp.zeros(vals.shape[:1], vals.dtype)
     bacc = lbk * (1.0 + rcfg.epsilon) >= ub_excluded
     return vals[:, :k], idx[:, :k], lb, ub, bacc, p, r
 

@@ -1,0 +1,97 @@
+"""CLI surface tests — the engine's user-facing contract.
+
+The reference's entire API is the CLI [R: fora.cpp main — reconstruction,
+SURVEY.md Sec. 1 L6]; these tests drive the same action/flag surface
+end-to-end on disk fixtures, including the multi-chip path
+(--graph-shards / --exchange / --chips-per-host) on the 8-device CPU mesh.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from fora_tpu import cli
+from fora_tpu.algo import exact
+from fora_tpu.eval import metrics
+from fora_tpu.graph import generators
+from fora_tpu.graph.io import save_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """A small ER dataset written in the reference's on-disk format, with
+    query set, FORA+ index, and exact top-k oracle."""
+    prefix = tmp_path_factory.mktemp("data")
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    save_dataset(g, str(prefix), "er")
+    assert cli.main(["generate-ss-query", "--prefix", str(prefix),
+                     "--dataset", "er", "--query-size", "12"]) == 0
+    assert cli.main(["build", "--prefix", str(prefix),
+                     "--dataset", "er", "--epsilon", "0.5"]) == 0
+    return prefix, g
+
+
+def _run_batch_topk(prefix, out, extra):
+    rc = cli.main(["batch-topk", "--prefix", str(prefix), "--dataset", "er",
+                   "--epsilon", "0.5", "--k", "8", "--with-idx",
+                   "--batch", "8", "--output", str(out)] + extra)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    return {r["source"]: r for r in rows}
+
+
+def _precision(g, results, k=8):
+    precs = []
+    for s, r in results.items():
+        ex_ids = exact.exact_topk(g, int(s), k)[0]
+        precs.append(metrics.precision_at_k(np.asarray(r["ids"]), ex_ids))
+    return float(np.mean(precs))
+
+
+def test_cli_batch_topk_single_chip(dataset, tmp_path):
+    prefix, g = dataset
+    res = _run_batch_topk(prefix, tmp_path / "out.jsonl", [])
+    assert len(res) == 12
+    assert all(len(r["ids"]) == 8 for r in res.values())
+    assert _precision(g, res) >= 0.85
+    # the run persisted level stats beside the index
+    assert (prefix / "index" / "er" / "level_stats.json").exists()
+
+
+@pytest.mark.parametrize("extra", [
+    ["--graph-shards", "4", "--exchange", "routed"],
+    ["--graph-shards", "4", "--exchange", "hier", "--chips-per-host", "2"],
+], ids=["routed", "hier"])
+def test_cli_batch_topk_sharded_matches_single(dataset, tmp_path, extra):
+    """The MULTICHIP dryrun config is reproducible from the CLI: 4-way
+    row-sharded refinement pool, routed/hier exchange, 8-device CPU mesh —
+    and in indexed mode (deterministic SpMV walk phase) the sharded pool
+    returns the single-chip pool's results exactly."""
+    prefix, g = dataset
+    # pin the start level: the learned/persisted first-accepting level may
+    # differ between runs, and a different start level accepts borderline
+    # queries at a different (equally valid) refinement depth
+    single = _run_batch_topk(prefix, tmp_path / "single.jsonl",
+                             ["--start-level", "0"])
+    sharded = _run_batch_topk(prefix, tmp_path / "sharded.jsonl",
+                              extra + ["--start-level", "0"])
+    assert set(sharded) == set(single)
+    for s in single:
+        assert sharded[s]["ids"] == single[s]["ids"], s
+        np.testing.assert_allclose(sharded[s]["vals"], single[s]["vals"],
+                                   rtol=1e-5, err_msg=str(s))
+
+
+def test_cli_sharded_requires_index(dataset):
+    prefix, _ = dataset
+    rc = cli.main(["batch-topk", "--prefix", str(prefix), "--dataset", "er",
+                   "--graph-shards", "4", "--batch", "8"])
+    assert rc == 2  # clear error, not a crash
+
+
+def test_cli_sharded_rejects_other_actions(dataset):
+    prefix, _ = dataset
+    rc = cli.main(["query", "--prefix", str(prefix), "--dataset", "er",
+                   "--graph-shards", "4"])
+    assert rc == 2

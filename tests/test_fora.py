@@ -157,3 +157,44 @@ def test_topk_query_pool_adaptive_start_level():
     runner.query_pool(sources[:8], jax.random.key(11), batch=8,
                       start_level=0)
     assert runner.last_level_stats[0]["level"] == 0
+
+
+def test_level_stats_persist_across_runners(tmp_path):
+    """The learned start level survives process restarts via the persisted
+    stats file — keyed by graph content + config, so a different graph or
+    config refuses the record instead of inheriting a wrong start level."""
+    from fora_tpu.algo import topk as topk_algo
+    from fora_tpu.index.store import graph_fingerprint
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    sha = graph_fingerprint(g)
+    path = tmp_path / "level_stats.json"
+
+    r1 = topk_algo.TopkRunner(dg, rcfg, k=8)
+    sources = np.arange(20)
+    r1.query_pool(sources, jax.random.key(9), batch=8)
+    r1.save_level_stats(path, sha)
+
+    # cold runner adopts the start level and skips the dead levels
+    r2 = topk_algo.TopkRunner(dg, rcfg, k=8)
+    assert r2.load_level_stats(path, sha)
+    assert r2.auto_start_level == r1.auto_start_level
+    res = r2.query_pool(sources, jax.random.key(10), batch=8)
+    assert res.accepted.all()
+    assert r2.last_level_stats[0]["level"] == r1.auto_start_level
+    exact_ids = np.stack([exact.exact_topk(g, int(s), 8)[0] for s in sources])
+    assert metrics.batch_precision_at_k(res.node_ids, exact_ids) >= 0.85
+
+    # wrong graph content: refused
+    r3 = topk_algo.TopkRunner(dg, rcfg, k=8)
+    assert not r3.load_level_stats(path, "deadbeef")
+    assert r3.auto_start_level == 0
+    # wrong config (different k -> different schedule fingerprint): refused
+    rk = topk_algo.TopkRunner(dg, ForaConfig(epsilon=0.5, k=4)
+                              .resolved(g.n, g.m), k=4)
+    assert not rk.load_level_stats(path, sha)
+    # missing / corrupt file: refused, not raised
+    assert not r3.load_level_stats(tmp_path / "nope.json", sha)
+    (tmp_path / "bad.json").write_text("{")
+    assert not r3.load_level_stats(tmp_path / "bad.json", sha)
