@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve walks from the prebuilt FORA+ index")
     p.add_argument("--index-dir", default=None,
                    help="default <prefix>/index/<dataset>")
+    p.add_argument("--index-shards", default=None,
+                   help="build: also persist row-sharded store(s) for "
+                        "these graph-shard counts (comma list, e.g. 4,8); "
+                        "sharded batch-topk/serve then load only own rows")
     p.add_argument("--delta-stride", type=float, default=4.0,
                    help="top-k refinement delta divisor per level")
     p.add_argument("--accept-slack", type=float, default=1.0,
@@ -251,6 +255,12 @@ def _main(argv=None) -> int:
         shutil.rmtree(ckpt, ignore_errors=True)
         info("index built", dir=_index_dir(args),
              endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
+        if args.index_shards:
+            from .index import store as widx_store
+            for gshards in [int(x) for x in args.index_shards.split(",")]:
+                d = widx_store.save_sharded(idx, rcfg, _index_dir(args),
+                                            gshards, graph=g)
+                info("sharded store written", dir=str(d), shards=gshards)
         print(timers.report(), file=sys.stderr)
         return 0
 
@@ -305,9 +315,22 @@ def _main(argv=None) -> int:
     idx, graph_sha = None, None
     if args.with_idx:
         from . import index as widx
-        idx = widx.load(_index_dir(args), rcfg, graph=g)
+        from .index.store import ShardedIndexStore
         graph_sha = widx.graph_fingerprint(g)
-        info("index loaded", dir=_index_dir(args))
+        if sharded:
+            # prefer the shard-aware store: each host reads only its rows'
+            # files and no global edge array exists in host RAM
+            try:
+                idx = ShardedIndexStore(_index_dir(args), args.graph_shards,
+                                        rcfg, graph=g)
+                info("sharded index store", dir=str(idx.dir),
+                     per_shard_mb=round(idx.bytes_per_shard() / 1e6, 1))
+            except FileNotFoundError:
+                info("no sharded store; loading monolithic index "
+                     "(build with --index-shards to persist shards)")
+        if idx is None:
+            idx = widx.load(_index_dir(args), rcfg, graph=g)
+            info("index loaded", dir=_index_dir(args))
 
     if args.action == "serve":
         from .serve import serve_forever

@@ -185,43 +185,52 @@ class PartitionedIndex(NamedTuple):
 
 
 def partition_index(index, n_shards: int, n_loc: int) -> PartitionedIndex:
-    """``index`` is a fora_tpu.index.WalkIndex (v2 bucketed layout)."""
+    """``index`` is a fora_tpu.index.WalkIndex (v2 bucketed layout).
+
+    Fully vectorized: one stable argsort groups edges by (bucket, shard)
+    while preserving the within-group dst order (the sorted-segment_sum
+    contract), then a single scatter writes every group to its padded slot
+    — no per-(bucket, shard) Python loop (the round-2 version's O(Q*G)
+    masked passes over the full edge array dominated engine start-up at
+    multi-GB index scale)."""
     src = np.asarray(index.edge_src, dtype=np.int64)
     dst = np.asarray(index.edge_dst, dtype=np.int64)
     boff = np.asarray(index.bucket_offsets, dtype=np.int64)
     cc = np.asarray(index.counts_cum)
     n, Q = cc.shape
     n_pad = n_shards * n_loc
+    E = src.shape[0]
 
     shard_of = src // n_loc
-    # per (bucket, shard) sizes
-    sizes = np.zeros((Q, n_shards), dtype=np.int64)
-    for q in range(Q):
-        lo, hi = boff[q], boff[q + 1]
-        sizes[q] = np.bincount(shard_of[lo:hi], minlength=n_shards)
-    bucket_loc = sizes.max(axis=1)                       # padded per bucket
+    bucket_of = np.searchsorted(boff[1:], np.arange(E), side="right")
+    group = bucket_of * n_shards + shard_of            # (q, s) group id
+    sizes = np.bincount(group, minlength=Q * n_shards).reshape(Q, n_shards)
+    bucket_loc = sizes.max(axis=1)                     # padded per bucket
     bucket_local_offsets = np.zeros(Q + 1, dtype=np.int64)
     np.cumsum(bucket_loc, out=bucket_local_offsets[1:])
     e_loc_total = int(bucket_local_offsets[-1])
+
+    # destination slot of each edge: group base + rank within group.
+    # Edges are already (bucket, dst)-sorted; a stable sort by group id
+    # keeps each group's dst order intact.
+    order = np.argsort(group, kind="stable")
+    group_starts = np.zeros(Q * n_shards, dtype=np.int64)
+    np.cumsum(sizes.reshape(-1)[:-1], out=group_starts[1:])
+    rank = np.arange(E, dtype=np.int64) - group_starts[group[order]]
+    base = (shard_of[order] * e_loc_total
+            + bucket_local_offsets[bucket_of[order]])
+    pos = base + rank
 
     mult = (np.asarray(index.edge_mult, dtype=np.float32)
             if index.edge_mult is not None else None)
     src_flat = np.full(n_shards * e_loc_total, n_loc, dtype=np.int32)
     dst_flat = np.full(n_shards * e_loc_total, n_pad, dtype=np.int32)
-    mult_flat = (np.zeros(n_shards * e_loc_total, dtype=np.float32)
-                 if mult is not None else None)
-    for q in range(Q):
-        lo, hi = boff[q], boff[q + 1]
-        so = shard_of[lo:hi]
-        s_src, s_dst = src[lo:hi], dst[lo:hi]
-        for s in range(n_shards):
-            mask = so == s
-            k = int(mask.sum())
-            base = s * e_loc_total + bucket_local_offsets[q]
-            src_flat[base: base + k] = s_src[mask] - s * n_loc
-            dst_flat[base: base + k] = s_dst[mask]
-            if mult is not None:
-                mult_flat[base: base + k] = mult[lo:hi][mask]
+    src_flat[pos] = src[order] - shard_of[order] * n_loc
+    dst_flat[pos] = dst[order]
+    mult_flat = None
+    if mult is not None:
+        mult_flat = np.zeros(n_shards * e_loc_total, dtype=np.float32)
+        mult_flat[pos] = mult[order]
 
     cc_flat = np.zeros((n_shards * n_loc, Q), dtype=np.int32)
     cc_flat[:n] = cc

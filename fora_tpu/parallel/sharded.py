@@ -524,6 +524,28 @@ def _resolve_exchange(exchange, ragged_exchange, pallas_ring):
     return exchange
 
 
+def _array_from_shards(mesh, store, key: str, shape, dtype):
+    """Assemble a P('graph')-sharded global array by serving each device's
+    slice from its shard's on-disk file (ShardedIndexStore.shard mmap
+    views).  ``jax.make_array_from_callback`` only invokes the callback for
+    ADDRESSABLE devices, so on a multi-host mesh each host touches only the
+    files of the shards it owns — per-host load is ~1/H of the index."""
+    sharding = jax.sharding.NamedSharding(mesh, P(GRAPH_AXIS))
+    per = shape[0] // store.n_shards
+    cache = {}
+
+    def cb(idx):
+        s = (idx[0].start or 0) // per
+        if s not in cache:   # query-axis replicas share one file read
+            cache[s] = np.ascontiguousarray(
+                store.shard(s)[key]).astype(dtype, copy=False)
+        return cache[s]
+
+    out = jax.make_array_from_callback(shape, sharding, cb)
+    cache.clear()
+    return out
+
+
 class _ShardedPlacement:
     """Partitions graph (+ index) rows over the mesh's 'graph' axis and
     places every per-shard array; shared by the one-shot engine and the
@@ -586,7 +608,37 @@ class _ShardedPlacement:
         self.use_index = index is not None
         self.index_bucket_offsets = None
         self.index_has_mult = False
-        if self.use_index:
+        from ..index.store import ShardedIndexStore
+        if isinstance(index, ShardedIndexStore):
+            # shard-aware store: each shard's arrays stream from its own
+            # mmap-backed files straight onto its device — no global edge
+            # array is ever materialized in host RAM (SURVEY.md Sec. 5.4;
+            # on a multi-host mesh each host reads only its rows' files)
+            if index.n_shards != G:
+                raise ValueError(
+                    f"sharded index is {index.n_shards}-way, mesh graph "
+                    f"axis is {G}; re-save with save_sharded(..., {G})")
+            if index.n_loc != pg.n_loc:
+                raise ValueError(
+                    f"sharded index n_loc={index.n_loc} != partition "
+                    f"n_loc={pg.n_loc} (row_multiple mismatch)")
+            self.index_bucket_offsets = index.bucket_local_offsets
+            self.index_has_mult = index.has_mult
+            e = index.e_loc_total
+            nQ = index.shard(0)["counts_cum"].shape[1]
+            self.index_args = [
+                _array_from_shards(mesh, index, "edge_src_local",
+                                   (G * e,), np.int32),
+                _array_from_shards(mesh, index, "edge_dst",
+                                   (G * e,), np.int32),
+                _array_from_shards(mesh, index, "counts_cum",
+                                   (G * pg.n_loc, nQ), np.int32),
+                (_array_from_shards(mesh, index, "edge_mult",
+                                    (G * e,), np.float32)
+                 if index.has_mult
+                 else put(np.zeros(G, dtype=np.float32), gspec)),
+            ]
+        elif self.use_index:
             pi = part.partition_index(index, G, pg.n_loc)
             self.index_bucket_offsets = pi.bucket_local_offsets
             self.index_has_mult = pi.edge_mult is not None

@@ -14,6 +14,7 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 
 # HBM bandwidth by device kind (bytes/s); conservative datasheet numbers.
 HBM_BW = {
@@ -69,14 +70,37 @@ class SpmvRoofline:
         return self.light_speed_secs(bw) / max(measured_secs, 1e-12)
 
 
+def fence(out):
+    """TRUE completion fence: device->host read of one element of ``out``.
+
+    ``jax.block_until_ready`` is NOT a completion fence on relayed/tunneled
+    TPU runtimes: the relay ACKs the ready-event while the program is still
+    executing remotely (measured on the v5e loopback relay: a ~160 ms
+    superstep "blocked" in 70 us, reporting 84x speed-of-light).  A host
+    transfer of any element cannot be ACKed early — the value must exist —
+    so timing loops fence through this instead.  The one-element slice
+    compiles one tiny program per leaf shape (persistently cached).
+
+    Any output of the fenced program works as the read target: a single
+    executable's outputs complete together, so one element of one array
+    fences the whole call."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if getattr(leaf, "size", 0):
+            np.asarray(leaf[(0,) * leaf.ndim])
+            return out
+    jax.block_until_ready(out)   # no device payload to read through
+    return out
+
+
 def measure(fn, *args, reps: int = 3, warmup: int = 1) -> float:
-    """Median wall time of a blocking call (device-fenced)."""
+    """Median wall time of a completed call (host-read fenced — see
+    ``fence`` for why block_until_ready alone is insufficient here)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

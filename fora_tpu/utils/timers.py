@@ -2,8 +2,9 @@
 
 Plays the role of the reference's static RAII ``Timer`` objects printed at
 exit [R: mylib.h — reconstruction, SURVEY.md Sec. 5.1].  On TPU the timer
-fences with ``jax.block_until_ready`` so phases measure device time, not
-dispatch time.
+fences through ``profiling.fence`` (a one-element host read) — on relayed
+TPU runtimes ``jax.block_until_ready`` ACKs before remote execution
+completes, so it alone measures dispatch, not device time.
 """
 
 from __future__ import annotations
@@ -12,8 +13,6 @@ import contextlib
 import time
 from collections import defaultdict
 from typing import Any, Dict, Optional
-
-import jax
 
 
 class Timers:
@@ -28,15 +27,16 @@ class Timers:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                from .profiling import fence
+                fence(block_on)
             self.total[name] += time.perf_counter() - t0
             self.count[name] += 1
 
     def timed(self, name: str, fn, *args, **kwargs):
-        """Run fn, block on its result, record wall time; returns result."""
+        """Run fn, fence on its result, record wall time; returns result."""
+        from .profiling import fence
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        out = fence(fn(*args, **kwargs))
         self.total[name] += time.perf_counter() - t0
         self.count[name] += 1
         return out

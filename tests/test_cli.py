@@ -83,6 +83,23 @@ def test_cli_batch_topk_sharded_matches_single(dataset, tmp_path, extra):
                                    rtol=1e-5, err_msg=str(s))
 
 
+def test_cli_sharded_store_matches_in_memory(dataset, tmp_path):
+    """build --index-shards persists the row-sharded store; sharded
+    batch-topk then loads only per-shard files and returns identical
+    results to the monolithic-index run."""
+    prefix, g = dataset
+    base = ["--graph-shards", "4", "--exchange", "routed",
+            "--start-level", "0"]
+    mono = _run_batch_topk(prefix, tmp_path / "mono.jsonl", base)
+    assert not (prefix / "index" / "er" / "shards-G4").exists()
+    assert cli.main(["build", "--prefix", str(prefix), "--dataset", "er",
+                     "--epsilon", "0.5", "--index-shards", "4"]) == 0
+    assert (prefix / "index" / "er" / "shards-G4" / "meta.json").exists()
+    store = _run_batch_topk(prefix, tmp_path / "store.jsonl", base)
+    assert {s: r["ids"] for s, r in store.items()} == \
+        {s: r["ids"] for s, r in mono.items()}
+
+
 def test_cli_sharded_requires_index(dataset):
     prefix, _ = dataset
     rc = cli.main(["batch-topk", "--prefix", str(prefix), "--dataset", "er",

@@ -300,3 +300,74 @@ def test_sharded_with_index():
                           for s in sources])
     assert metrics.batch_precision_at_k(np.asarray(res.node_ids),
                                         exact_ids) >= 0.85
+
+
+def test_sharded_index_store_matches_partition(tmp_path):
+    """save_sharded + ShardedIndexStore serve byte-identical arrays to an
+    in-RAM partition_index of the monolithic index, and per-shard on-disk
+    load is ~1/G of the total (the SURVEY Sec. 5.4 contract: each host
+    reads only its rows)."""
+    from fora_tpu.index import store as widx_store
+    from fora_tpu.parallel.partition import partition_rows
+
+    g, rcfg = _graph_and_cfg(n=200, m=2000)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    G = 4
+    d = widx_store.save_sharded(idx, rcfg, tmp_path, G, graph=g)
+    assert d.exists()
+    st = widx_store.ShardedIndexStore(tmp_path, G, rcfg, graph=g)
+
+    pg = partition_rows(g, G)
+    assert st.n_loc == pg.n_loc
+    pi = partition_index(idx, G, pg.n_loc)
+    assert st.e_loc_total == pi.e_loc_total
+    assert np.array_equal(st.bucket_local_offsets, pi.bucket_local_offsets)
+    e, nl = pi.e_loc_total, pg.n_loc
+    total = 0
+    for s in range(G):
+        sh = st.shard(s)
+        np.testing.assert_array_equal(
+            sh["edge_src_local"], pi.edge_src_local[s * e:(s + 1) * e])
+        np.testing.assert_array_equal(
+            sh["edge_dst"], pi.edge_dst[s * e:(s + 1) * e])
+        np.testing.assert_array_equal(
+            sh["counts_cum"], pi.counts_cum[s * nl:(s + 1) * nl])
+        if pi.edge_mult is not None:
+            np.testing.assert_array_equal(
+                sh["edge_mult"], pi.edge_mult[s * e:(s + 1) * e])
+        total += st.bytes_per_shard(s)
+    # bytes model: every shard loads ~1/G of the total (equal by padding)
+    assert st.bytes_per_shard(0) <= total / G + 4096
+
+    # identity/compat guards
+    with pytest.raises(FileNotFoundError):
+        widx_store.ShardedIndexStore(tmp_path, 8)
+    wrong = ForaConfig(epsilon=0.1).resolved(g.n, g.m)   # finer than built
+    with pytest.raises(ValueError):
+        widx_store.ShardedIndexStore(tmp_path, G, wrong)
+
+
+def test_sharded_runner_from_store_matches_in_memory(tmp_path):
+    """The refinement pool fed from the shard files returns the in-memory
+    index's results bit-for-bit (same partitioned layout, same programs)."""
+    from fora_tpu.index import store as widx_store
+
+    g, rcfg = _graph_and_cfg()
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    G = 4
+    widx_store.save_sharded(idx, rcfg, tmp_path, G, graph=g)
+    st = widx_store.ShardedIndexStore(tmp_path, G, rcfg, graph=g)
+    assert st.depth_for(rcfg.omega_unit, rcfg.rmax) == \
+        idx.depth_for(rcfg.omega_unit, rcfg.rmax)
+
+    mesh = make_mesh(4, 2)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+    r_mem = ShardedTopkRunner(g, mesh, rcfg, idx, k=10).query_pool(
+        sources, jax.random.key(7), batch=8)
+    r_store = ShardedTopkRunner(g, mesh, rcfg, st, k=10).query_pool(
+        sources, jax.random.key(7), batch=8)
+    np.testing.assert_array_equal(r_store.node_ids, r_mem.node_ids)
+    np.testing.assert_array_equal(r_store.values, r_mem.values)
+    np.testing.assert_array_equal(r_store.accepted, r_mem.accepted)
