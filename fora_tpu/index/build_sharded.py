@@ -85,32 +85,14 @@ def _sharded_walk_kernel(starts, key, indptr_loc, indices_loc, deg_loc,
                          alias_p, alias_o, *, alpha, max_hops, n_loc,
                          use_alias):
     """One shard's view of the lockstep walk; mirrors run_walks hop-for-hop
-    and draw-for-draw (bit-identical endpoint stream)."""
-    g_id = jax.lax.axis_index(GRAPH_AXIS)
-    row0 = g_id * n_loc
+    and draw-for-draw (bit-identical endpoint stream).  The hop loop is
+    the shared ops/walk.sharded_lockstep_walk (also the raw-walk query
+    path's kernel, parallel/sharded.py)."""
     s = starts.reshape(-1, 128)          # run_walks lane layout
-    length = walk_ops.geometric_lengths(jax.random.fold_in(key, 0),
-                                        s.shape, alpha, max_hops)
-
-    def hop(h, cur):
-        u = jax.random.uniform(jax.random.fold_in(key, h + 1), s.shape)
-        local = cur - row0
-        own = jnp.logical_and(local >= 0, local < n_loc)
-        li = jnp.clip(local, 0, n_loc - 1)
-        d = deg_loc[li]                               # valid on owner only
-        alive = jnp.logical_and(h < length, d > 0)    # dangling absorbs
-        j = jnp.minimum((u * d.astype(jnp.float32)).astype(jnp.int32),
-                        jnp.maximum(d - 1, 0))
-        slot = indptr_loc[li] + j
-        nxt = indices_loc[slot]
-        if use_alias:
-            u2 = jax.random.uniform(jax.random.fold_in(key, -(h + 1)),
-                                    s.shape)
-            nxt = jnp.where(u2 < alias_p[slot], nxt, alias_o[slot])
-        upd = jnp.where(own, jnp.where(alive, nxt, cur), 0)
-        return jax.lax.psum(upd, GRAPH_AXIS)          # one owner per lane
-
-    return jax.lax.fori_loop(0, max_hops, hop, s).reshape(-1)
+    return walk_ops.sharded_lockstep_walk(
+        s, key, indptr_loc, indices_loc, deg_loc, alias_p, alias_o,
+        alpha=alpha, max_hops=max_hops, n_loc=n_loc, use_alias=use_alias,
+        axis_name=GRAPH_AXIS).reshape(-1)
 
 
 def build_walk_index_sharded(g: CSRGraph, mesh: jax.sharding.Mesh,

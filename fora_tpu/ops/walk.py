@@ -135,6 +135,50 @@ def run_walks(graph: DeviceGraph, start: jnp.ndarray, key: jax.Array, *,
     return jax.lax.fori_loop(0, max_hops, hop, start)
 
 
+def sharded_lockstep_walk(cur: jnp.ndarray, key: jax.Array,
+                          indptr_loc: jnp.ndarray, indices_loc: jnp.ndarray,
+                          deg_loc: jnp.ndarray, alias_p, alias_o, *,
+                          alpha: float, max_hops: int, n_loc: int,
+                          use_alias: bool, axis_name: str) -> jnp.ndarray:
+    """Lockstep walk with the out-CSR ROW-SHARDED over ``axis_name``
+    (SURVEY.md Sec. 5.7): lane state ``cur`` is replicated (identical on
+    every shard), each shard holds only its rows' CSR slice
+    (``indptr_loc`` localized, [n_loc+1]), and each hop the owner of a
+    lane's current row samples its next node while non-owners contribute
+    0 — ONE psum per hop combines (each lane has exactly one owner).
+
+    The uniform stream, hop order, and update rule mirror ``run_walks``
+    hop-for-hop and draw-for-draw, so for equal keys the endpoint stream
+    is bit-identical to an unsharded walk — the property the sharded
+    index builder's bit-identity test pins (index/build_sharded.py).
+    """
+    shape = cur.shape
+    g_id = jax.lax.axis_index(axis_name)
+    row0 = g_id * n_loc
+    length = geometric_lengths(jax.random.fold_in(key, 0), shape, alpha,
+                               max_hops)
+
+    def hop(h, cur):
+        u = jax.random.uniform(jax.random.fold_in(key, h + 1), shape)
+        local = cur - row0
+        own = jnp.logical_and(local >= 0, local < n_loc)
+        li = jnp.clip(local, 0, n_loc - 1)
+        d = deg_loc[li]                               # valid on owner only
+        alive = jnp.logical_and(h < length, d > 0)    # dangling absorbs
+        j = jnp.minimum((u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0))
+        slot = indptr_loc[li] + j
+        nxt = indices_loc[slot]
+        if use_alias:
+            u2 = jax.random.uniform(jax.random.fold_in(key, -(h + 1)),
+                                    shape)
+            nxt = jnp.where(u2 < alias_p[slot], nxt, alias_o[slot])
+        upd = jnp.where(own, jnp.where(alive, nxt, cur), 0)
+        return jax.lax.psum(upd, axis_name)           # one owner per lane
+
+    return jax.lax.fori_loop(0, max_hops, hop, cur)
+
+
 def accumulate_endpoints(endpoints: jnp.ndarray, weight: jnp.ndarray,
                          n: int) -> jnp.ndarray:
     """segment-sum walk weights into a [n, B] PPR contribution."""

@@ -10,10 +10,11 @@ a common n_loc); each graph shard owns
     tables ride along for the weighted kernel);
   * its slice of degrees / walk-index rows.
 
-The walk CSR (out_indptr/out_indices) stays replicated in v1: walks
-traverse arbitrary rows, and the replicated-CSR + lane-parallel design
-keeps every hop local (SURVEY.md Sec. 2.3 — the row-sharded walk state
-with per-hop all-to-all routing is the later scale-out variant).
+The walk CSR fields on PartitionedGraph (out_indptr/out_indices/alias)
+are host-side conveniences only; the sharded ENGINE no longer replicates
+any O(m) array on device — raw-walk queries run the cooperative
+psum-per-hop lockstep walk over per-shard CSR slices
+(ops/walk.sharded_lockstep_walk; SURVEY.md Sec. 5.7).
 
 All per-shard arrays are returned flat with a leading G*size axis so
 ``shard_map`` specs can be a plain P('graph').

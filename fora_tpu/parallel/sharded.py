@@ -319,11 +319,10 @@ def _shard_fora_topk(
     in_w_loc,         # [m_loc] f32 edge weights, pad=0 (dummy if unweighted)
     wsum_loc,         # [n_loc] f32 out-weight totals (dummy if unweighted)
     needed,           # [G, n_loc] bool routing mask (dummy unless routed)
-    out_indptr,       # [n_pad+1] i32 replicated
-    out_indices,      # [m] i32 replicated
-    out_deg,          # [n_pad] i32 replicated
-    alias_prob,       # [m] f32 replicated (dummy if unweighted)
-    alias_other,      # [m] i32 replicated (dummy if unweighted)
+    walk_indptr,      # [n_loc+1] i32 localized out-CSR slice (or dummy)
+    walk_indices,     # [mo_loc] i32 this shard's out-edges (or dummy)
+    walk_alias_p,     # [mo_loc] f32 alias slice (dummy if unweighted)
+    walk_alias_o,     # [mo_loc] i32 alias slice (dummy if unweighted)
     idx_edge_src,     # [e_loc_total] i32 local src, pad=n_loc (or dummy)
     idx_edge_dst,     # [e_loc_total] i32 global dst, pad=n_pad (or dummy)
     idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
@@ -386,18 +385,24 @@ def _shard_fora_topk(
             bucket_offsets=index_bucket_offsets, has_mult=index_has_mult,
             n_pad=n_pad)
     else:
+        # row-sharded raw walks (SURVEY.md Sec. 5.7): each shard allocates
+        # lanes from ITS residues, lane state is replicated by one
+        # all_gather, and the cooperative lockstep walk advances with one
+        # psum per hop against the shard-local CSR slices — no replicated
+        # out-CSR or alias tables anywhere.  Wire volume is G*W_loc*Bq*4 B
+        # per hop; this is the un-indexed competitor mode, where the
+        # memory wall (not wire) is the binding constraint.
         alloc = walk_ops.allocate_walks(r, rcfg.omega_unit, num_lanes_loc)
-        walk_graph = DeviceGraph(out_indptr=out_indptr,
-                                 out_indices=out_indices,
-                                 in_src=in_src, in_dst=in_dst,  # unused
-                                 out_deg=out_deg,
-                                 alias_prob=alias_prob if weighted else None,
-                                 alias_other=(alias_other if weighted
-                                              else None))
-        endpoints = walk_ops.run_walks(
-            walk_graph, alloc.start + row0,
-            jax.random.fold_in(key, g_id), alpha=alpha,
-            max_hops=rcfg.max_walk_hops)
+        W_loc = alloc.start.shape[0]
+        start_g = jax.lax.all_gather(alloc.start + row0, GRAPH_AXIS,
+                                     axis=0, tiled=True)  # [G*W_loc, Bq]
+        endpoints_g = walk_ops.sharded_lockstep_walk(
+            start_g, key, walk_indptr, walk_indices, deg_loc,
+            walk_alias_p, walk_alias_o, alpha=alpha,
+            max_hops=rcfg.max_walk_hops, n_loc=n_loc, use_alias=weighted,
+            axis_name=GRAPH_AXIS)
+        endpoints = jax.lax.dynamic_slice_in_dim(endpoints_g, g_id * W_loc,
+                                                 W_loc, axis=0)
         contrib_all = walk_ops.accumulate_endpoints(endpoints, alloc.weight,
                                                     n_pad)  # [n_pad, Bq]
         overflow = alloc.overflow
@@ -594,14 +599,26 @@ class _ShardedPlacement:
             put(in_w, gspec), put(wsum, gspec), put(needed, gspec),
         ]
         if with_walk_side:
-            ap = (pg.alias_prob if self.weighted
-                  else np.zeros(1, dtype=np.float32))       # dummy
-            ao = (pg.alias_other if self.weighted
-                  else np.zeros(1, dtype=np.int32))         # dummy
-            self.walk_args = [put(pg.out_indptr, self.rep),
-                              put(pg.out_indices, self.rep),
-                              put(pg.out_deg, self.rep),
-                              put(ap, self.rep), put(ao, self.rep)]
+            # raw-walk mode: out-CSR row-sharded like everything else
+            # (SURVEY.md Sec. 5.7 — retires the v1 replicated walk CSR);
+            # walks run cooperatively with one psum per hop
+            # (ops/walk.sharded_lockstep_walk), so no O(m) array is
+            # replicated anywhere in the query path.
+            from ..index.build_sharded import _shard_csr
+            n_loc_w, indptr_loc, indices_loc, _deg, ap, ao = _shard_csr(g, G)
+            if n_loc_w != pg.n_loc:
+                raise AssertionError(
+                    f"walk CSR n_loc={n_loc_w} != partition {pg.n_loc}")
+
+            def flat(a):
+                return a.reshape(G * a.shape[1], *a.shape[2:])
+
+            self.walk_args = [
+                put(flat(indptr_loc), gspec), put(flat(indices_loc), gspec),
+                put(flat(ap) if self.weighted
+                    else np.zeros(G, dtype=np.float32), gspec),
+                put(flat(ao) if self.weighted
+                    else np.zeros(G, dtype=np.int32), gspec)]
         else:
             self.walk_args = []
 
@@ -700,13 +717,12 @@ class ShardedForaEngine:
         index_depth = (index.depth_for(rcfg.omega_unit, rcfg.rmax)
                        if self.use_index else 0)
         if self.use_index:
-            rep_sh = jax.sharding.NamedSharding(mesh, P())
+            g_sh = jax.sharding.NamedSharding(mesh, P(GRAPH_AXIS))
             walk_args = [
-                jax.device_put(np.zeros(2, np.int32), rep_sh),   # indptr
-                jax.device_put(np.zeros(1, np.int32), rep_sh),   # indices
-                jax.device_put(np.zeros(1, np.int32), rep_sh),   # deg
-                jax.device_put(np.zeros(1, np.float32), rep_sh),  # alias_p
-                jax.device_put(np.zeros(1, np.int32), rep_sh),   # alias_o
+                jax.device_put(np.zeros(G, np.int32), g_sh),   # indptr
+                jax.device_put(np.zeros(G, np.int32), g_sh),   # indices
+                jax.device_put(np.zeros(G, np.float32), g_sh),  # alias_p
+                jax.device_put(np.zeros(G, np.int32), g_sh),   # alias_o
             ]
         else:
             walk_args = data.walk_args
@@ -727,7 +743,7 @@ class ShardedForaEngine:
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(),
                       gspec, gspec, gspec, gspec, gspec, gspec,
-                      rep, rep, rep, rep, rep,
+                      gspec, gspec, gspec, gspec,
                       gspec, gspec, gspec, gspec),
             out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
         self._jitted = jax.jit(mapped)

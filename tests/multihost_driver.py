@@ -1,13 +1,23 @@
-"""Worker script for the 2-process multi-host test (not a pytest module).
+"""Worker script for the multi-process multi-host tests (not a pytest
+module).
 
-Usage: python tests/multihost_driver.py <process_id> <num_processes> <port>
+Usage:
+  python tests/multihost_driver.py <pid> <nproc> <port>               # check
+  python tests/multihost_driver.py <pid> <nproc> <port> bench <local> # bench
 
-Each process contributes 4 virtual CPU devices; the global 8-device mesh
-runs the sharded top-k pipeline; process 0 checks precision vs the oracle
-and prints MULTIHOST_OK.
+check: each process contributes 4 virtual CPU devices; the global 8-device
+mesh runs the sharded top-k pipeline; process 0 checks precision vs the
+oracle and prints MULTIHOST_OK.
+
+bench: each process contributes <local> devices; the global mesh runs the
+INDEXED sharded refinement path with the hier (ICI/DCN) exchange grouped
+at the process boundary, times a batch, and process 0 prints one JSON line
+— the multi-host row of SCALING_r03.json (scripts/record_scaling.py).
 """
 
+import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -15,8 +25,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "check"
+    local = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     from fora_tpu.parallel import multihost
-    multihost.init(f"localhost:{port}", nproc, pid, local_cpu_devices=4)
+    multihost.init(f"localhost:{port}", nproc, pid,
+                   local_cpu_devices=local)
 
     import jax
     import jax.numpy as jnp
@@ -27,14 +40,38 @@ def main():
     from fora_tpu.graph import generators
     from fora_tpu.parallel import ShardedForaEngine, make_mesh
 
-    assert len(jax.devices()) == 4 * nproc, jax.devices()
+    assert len(jax.devices()) == local * nproc, jax.devices()
 
     g = generators.erdos_renyi(300, 3000, seed=21)
     rcfg = ForaConfig(epsilon=0.5).resolved(g.n, g.m)
-    # 'graph' axis spans both processes (the DCN axis in a real pod)
-    mesh = make_mesh(4 * nproc, 1)
-    eng = ShardedForaEngine(g, mesh, rcfg, k=10)
+    # 'graph' axis spans the processes (the DCN axis in a real pod)
+    mesh = make_mesh(local * nproc, 1)
     sources = np.array([3, 17, 42, 99, 123, 200, 250, 287])
+
+    if mode == "bench":
+        from fora_tpu import index as widx
+        from fora_tpu.graph import to_device
+        idx = widx.build_walk_index(to_device(g), rcfg, jax.random.key(0))
+        eng = ShardedForaEngine(
+            g, mesh, rcfg, k=10, index=idx, exchange="hier",
+            chips_per_host=local)
+        src = jnp.asarray(sources)
+        np.asarray(eng.topk(src, jax.random.key(1)).values)  # warm + fence
+        reps, t0 = 5, time.time()
+        for i in range(reps):
+            r = eng.topk(src, jax.random.fold_in(jax.random.key(2), i))
+            np.asarray(r.values)
+        dt = (time.time() - t0) / reps
+        if pid == 0:
+            print(json.dumps({
+                "processes": nproc, "devices_per_process": local,
+                "graph_shards": local * nproc, "exchange": "hier",
+                "indexed": True, "batch": len(sources),
+                "qps": round(len(sources) / dt, 2),
+                "ms_per_batch": round(dt * 1e3, 1)}), flush=True)
+        return
+
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10)
     res = eng.topk(jnp.asarray(sources), jax.random.key(1))
     ids = multihost.gather_to_host(res.node_ids)[: len(sources)]
 

@@ -371,3 +371,23 @@ def test_sharded_runner_from_store_matches_in_memory(tmp_path):
     np.testing.assert_array_equal(r_store.node_ids, r_mem.node_ids)
     np.testing.assert_array_equal(r_store.values, r_mem.values)
     np.testing.assert_array_equal(r_store.accepted, r_mem.accepted)
+
+
+def test_raw_walk_no_replicated_csr():
+    """The raw-walk sharded engine places only per-shard CSR slices on the
+    'graph' axis — no O(m) replicated array remains in the query path
+    (SURVEY Sec. 5.7; retires the round-2 'v1 replication')."""
+    g, rcfg = _graph_and_cfg()
+    mesh = make_mesh(4, 2)
+    eng = ShardedForaEngine(g, mesh, rcfg, k=10)
+    from fora_tpu.parallel.mesh import GRAPH_AXIS
+    for a in eng._args:
+        sh = a.sharding
+        spec = sh.spec
+        if a.ndim and a.shape[0] >= g.m:     # any m-sized leading axis
+            assert spec and spec[0] == GRAPH_AXIS, (a.shape, spec)
+    # per-shard walk-side bytes ~ m/G, not m
+    walk_indices = eng._args[7]              # indices slice arg
+    assert walk_indices.shape[0] <= 2 * g.m  # padded G * m_loc
+    shard_rows = walk_indices.shape[0] // 4
+    assert shard_rows < g.m                  # strictly smaller than full m
