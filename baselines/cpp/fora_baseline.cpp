@@ -12,7 +12,12 @@
 //   * rmax  = eps * sqrt(delta / (m * c)),  c = (2 eps/3 + 2) ln(2/p_f)
 //   * omega = rsum * c / (eps^2 delta); omega_v = ceil(r_v * omega_unit),
 //     each walk contributing r_v / omega_v at its endpoint;
-//   * top-k: delta from 1/k halved until kth_ppr >= (1+eps)*delta.
+//   * top-k: delta from 1/k halved until kth_ppr >= (1+eps)*delta OR the
+//     per-node Bernstein UB/LB separation test fires — the same two
+//     acceptance paths as the TPU engine (fora_tpu/algo/bounds.py), so
+//     the bench comparison is stopping-rule symmetric (round-2 verdict
+//     weak #5: without the bound path the baseline descended deeper
+//     delta levels than the TPU engine on borderline queries).
 //
 // Input: packed binary graph (written by bench.py):
 //   int64 n, int64 m, int64 indptr[n+1], int32 indices[m]
@@ -64,16 +69,20 @@ struct Fora {
   std::mt19937_64 rng{12345};
   std::uniform_real_distribution<double> unif{0.0, 1.0};
 
-  std::vector<double> p, r;
-  std::vector<int32_t> touched;       // nodes with nonzero p or r
+  std::vector<double> p, r, w;        // settled push mass / residue / walk mass
+  std::vector<int32_t> touched;       // nodes with nonzero p, r, or w
   std::vector<char> in_touched;
+  double omega_unit = 0.0;            // of the last query() level
 
   Fora(const Graph& graph, double eps_, double pfail_)
       : g(graph), eps(eps_), pfail(pfail_),
-        p(graph.n, 0.0), r(graph.n, 0.0), in_touched(graph.n, 0) {}
+        p(graph.n, 0.0), r(graph.n, 0.0), w(graph.n, 0.0),
+        in_touched(graph.n, 0) {}
 
   void reset() {
-    for (int32_t v : touched) { p[v] = 0; r[v] = 0; in_touched[v] = 0; }
+    for (int32_t v : touched) {
+      p[v] = 0; r[v] = 0; w[v] = 0; in_touched[v] = 0;
+    }
     touched.clear();
   }
   void touch(int64_t v) {
@@ -125,42 +134,76 @@ struct Fora {
     }
   }
 
-  // One FORA estimate at guarantee delta; fills p with the final estimate.
+  // One FORA estimate at guarantee delta: p = settled push mass,
+  // w = walk-phase mass; the estimate is p + w.
   void query(int64_t s, double delta) {
     reset();
     double c = (2.0 * eps / 3.0 + 2.0) * std::log(2.0 / pfail);
     double rmax = eps * std::sqrt(delta / ((double)g.m * c));
-    double omega_unit = c / (eps * eps * delta);
+    omega_unit = c / (eps * eps * delta);
     push(s, rmax);
     for (int32_t v : touched) {
       double rv = r[v];
       if (rv <= 0) continue;
-      int64_t w = (int64_t)std::ceil(rv * omega_unit);
-      double inc = rv / w;
-      for (int64_t i = 0; i < w; ++i) {
+      int64_t nw = (int64_t)std::ceil(rv * omega_unit);
+      double inc = rv / nw;
+      for (int64_t i = 0; i < nw; ++i) {
         int64_t t = walk(v);
-        p[t] += inc;
+        w[t] += inc;
         touch(t);
       }
     }
   }
 
-  // Iterative top-k refinement (same schedule/acceptance as fora_tpu).
+  // Bernstein UB/LB on the walk-phase estimate (same inversion as
+  // fora_tpu/algo/bounds.py: per-term bound c = 1/omega_unit, budget t).
+  static double bern_ub(double mu_hat, double c, double t) {
+    double s2 = 2.0 * t * c;
+    double root = (std::sqrt(s2) + std::sqrt(s2 + 4.0 * (mu_hat + s2 / 3.0)))
+                  * 0.5;
+    return root * root;
+  }
+  static double bern_lb(double mu_hat, double c, double t) {
+    double s2 = 2.0 * t * c;
+    return std::max(mu_hat - s2 / 3.0 - std::sqrt(s2 * bern_ub(mu_hat, c, t)),
+                    0.0);
+  }
+
+  // Iterative top-k refinement (same schedule/acceptance as fora_tpu:
+  // threshold rule OR confidence-bound separation).
   std::vector<std::pair<double, int64_t>> topk(int64_t s, int k) {
     double delta = 1.0 / std::max(k, 2);
     double floor_delta = 1.0 / g.n;
+    int levels = 1;
+    for (double d = delta; d > floor_delta; d *= 0.5) ++levels;
+    double t_bound = std::log(2.0 * g.n * levels / pfail);
     while (true) {
       query(s, delta);
-      std::vector<std::pair<double, int64_t>> cand;
+      std::vector<std::pair<double, int64_t>> cand;  // (p + w, v)
       cand.reserve(touched.size());
       for (int32_t v : touched)
-        if (p[v] > 0) cand.emplace_back(p[v], v);
-      int kk = std::min<size_t>(k, cand.size());
+        if (p[v] + w[v] > 0) cand.emplace_back(p[v] + w[v], v);
+      size_t kk = std::min<size_t>(k + 1, cand.size());
       std::partial_sort(cand.begin(), cand.begin() + kk, cand.end(),
                         std::greater<>());
       cand.resize(kk);
-      double kth = kk == k ? cand.back().first : 0.0;
-      if (kth >= (1.0 + eps) * delta || delta <= floor_delta) return cand;
+      double kth = kk >= size_t(k) ? cand[k - 1].first : 0.0;
+      bool accept = kk >= size_t(k) && kth >= (1.0 + eps) * delta;
+      if (!accept && kk >= size_t(k)) {     // bound separation test
+        double cw = 1.0 / omega_unit;
+        double lbk = 1e300;
+        for (size_t i = 0; i < size_t(k); ++i) {
+          int64_t v = cand[i].second;
+          double mu_hat = std::max(cand[i].first - p[v], 0.0);
+          lbk = std::min(lbk, p[v] + bern_lb(mu_hat, cw, t_bound));
+        }
+        double ub_exc = kk > size_t(k)      // worst case: excluded p = 0
+                            ? bern_ub(cand[k].first, cw, t_bound)
+                            : 0.0;
+        accept = lbk * (1.0 + eps) >= ub_exc;
+      }
+      if (cand.size() > size_t(k)) cand.resize(k);
+      if (accept || delta <= floor_delta) return cand;
       delta *= 0.5;
     }
   }

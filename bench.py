@@ -27,8 +27,8 @@ edges).  Scale via env:
                      batch 256 is the faster setting
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
-  FORA_BENCH_EVAL    queries scored vs exact oracle, default 64
-  FORA_BENCH_CPPQ    queries for the C++ baseline, default 16
+  FORA_BENCH_EVAL    queries scored vs exact oracle, default 128
+  FORA_BENCH_CPPQ    queries for the C++ baseline, default 32
   FORA_BENCH_CACHE   cache dir            default bench_data
   FORA_BENCH_INDEX   1 = FORA+ indexed walks (default 1)
   FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
@@ -81,8 +81,8 @@ DSTRIDE = float(os.environ.get("FORA_BENCH_DSTRIDE", "8"))
 ACCEPT = float(os.environ.get("FORA_BENCH_ACCEPT", "1"))
 K = env_int("FORA_BENCH_K", 50)
 EPS = float(os.environ.get("FORA_BENCH_EPS", "0.5"))
-EVAL_N = env_int("FORA_BENCH_EVAL", 64)
-CPPQ = env_int("FORA_BENCH_CPPQ", 16)
+EVAL_N = env_int("FORA_BENCH_EVAL", 128)
+CPPQ = env_int("FORA_BENCH_CPPQ", 32)
 CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
 USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
@@ -150,17 +150,19 @@ def export_graph_bin(g):
 def run_cpp_baseline(g, sources):
     """Returns (qps, topk_ids or None). Cached per (TAG, EPS, K, actual
     query sources)."""
+    src_sha = hashlib.sha1(
+        Path("baselines/cpp/fora_baseline.cpp").read_bytes()).hexdigest()[:8]
     h = hashlib.sha1(np.asarray(sources[:CPPQ]).tobytes()).hexdigest()[:10]
-    cache = CACHE / f"{TAG}.cpp.e{EPS}.k{K}.q{CPPQ}.{h}.json"
+    cache = CACHE / f"{TAG}.cpp.e{EPS}.k{K}.q{CPPQ}.{h}.{src_sha}.json"
     if cache.exists():
         d = json.loads(cache.read_text())
         return d["qps"], np.array(d["ids"]) if d.get("ids") else None
+    # make is a no-op when the binary is newer than the source
+    r = subprocess.run(["make", "-C", "baselines/cpp"], capture_output=True)
     binp = Path("baselines/cpp/fora_baseline")
-    if not binp.exists():
-        r = subprocess.run(["make", "-C", "baselines/cpp"], capture_output=True)
-        if r.returncode != 0:
-            log("C++ baseline build failed; vs_baseline will be null")
-            return None, None
+    if r.returncode != 0 or not binp.exists():
+        log("C++ baseline build failed; vs_baseline will be null")
+        return None, None
     gbin = export_graph_bin(g)
     qf = CACHE / f"{TAG}.cppq.txt"
     qf.write_text("".join(f"{int(s)}\n" for s in sources[:CPPQ]))
@@ -326,6 +328,10 @@ def main():
         "k": K, "epsilon": EPS, "graph": TAG, "n": g.n, "m": g.m,
         "batch": BATCH, "queries": n_q, "indexed": bool(USE_INDEX),
         "eval_queries": EVAL_N, "baseline_queries": CPPQ,
+        # the baseline implements BOTH acceptance paths (threshold +
+        # Bernstein bound separation), same as the TPU engine — the
+        # comparison is stopping-rule symmetric
+        "baseline_bound_accept": True,
         "warmup_secs": round(warmup_secs, 1),
         "push_superstep_secs": round(step_secs, 4),
         "push_roofline_efficiency": round(roof_eff, 4),

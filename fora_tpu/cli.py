@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "two-stage exchange")
     p.add_argument("--output", default=None,
                    help="write per-query results (JSONL: source, ids, vals)")
+    p.add_argument("--jax-cache", default=None,
+                   help="persistent XLA compile-cache dir (default "
+                        "<prefix>/.jaxcache; 'off' disables)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--runlog", default=None, help="JSONL metrics path")
     p.add_argument("--eval-exact", action="store_true",
@@ -195,6 +198,19 @@ def _main(argv=None) -> int:
     import jax.numpy as jnp
 
     args = build_parser().parse_args(argv)
+    if args.jax_cache != "off":
+        # persistent XLA compile cache: TPU compiles go through a slow
+        # remote tunnel on tunneled runtimes; env vars are too late when
+        # a sitecustomize imports jax first, so set it via jax.config
+        try:
+            cache_dir = args.jax_cache or str(
+                Path(args.prefix) / ".jaxcache")
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except (OSError, AttributeError):
+            pass
     log = RunLog(args.runlog)
     timers = Timers()
 
@@ -276,8 +292,9 @@ def _main(argv=None) -> int:
         pad = args.batch - len(sources)
         src = jnp.asarray(np.concatenate(
             [sources, np.repeat(sources[-1:], pad)]), jnp.int32)
-        exacts = [exact.exact_ppr(g, int(s), alpha=args.alpha)
-                  for s in sources]
+        with timers.phase("exact-oracle"):
+            X = exact.exact_ppr_power_batch(g, sources, alpha=args.alpha)
+        exacts = [X[:, b] for b in range(len(sources))]
         exact_topk = [np.argsort(-pi, kind="stable")[: args.k]
                       for pi in exacts]
         for eps in [float(x) for x in args.sweep_eps.split(",")]:

@@ -103,12 +103,14 @@ def save_dataset(g: CSRGraph, prefix: str, dataset: str) -> None:
     ddir = Path(prefix) / dataset
     os.makedirs(ddir, exist_ok=True)
     (ddir / "attribute.txt").write_text(f"n={g.n}\nm={g.m}\n")
-    # out-CSR order: expand indptr to per-edge src
+    # out-CSR order: expand indptr to per-edge src; vectorized writer
+    # (a per-edge Python loop takes minutes at 10M+ edges)
     src = np.repeat(np.arange(g.n, dtype=np.int64), np.asarray(g.out_deg, dtype=np.int64))
     with open(ddir / "graph.txt", "w") as f:
         if g.weighted:
-            for s, d, w in zip(src, g.out_indices, g.out_w):
-                f.write(f"{s} {d} {w:g}\n")
+            np.savetxt(f, np.column_stack(
+                [src, np.asarray(g.out_indices, np.int64),
+                 np.asarray(g.out_w, np.float64)]), fmt="%d %d %g")
         else:
-            for s, d in zip(src, g.out_indices):
-                f.write(f"{s} {d}\n")
+            np.savetxt(f, np.column_stack(
+                [src, np.asarray(g.out_indices, np.int64)]), fmt="%d %d")
