@@ -107,6 +107,17 @@ def test_cli_sharded_requires_index(dataset):
     assert rc == 2  # clear error, not a crash
 
 
+def test_cli_sweep_refuses_too_coarse_index(dataset):
+    """An index built at eps=0.5 must refuse to serve a finer sweep level
+    (omega_unit compat is the accuracy contract) — and succeed on a grid
+    it covers."""
+    prefix, _ = dataset
+    base = ["sweep", "--prefix", str(prefix), "--dataset", "er",
+            "--with-idx", "--batch", "8", "--k", "8"]
+    assert cli.main(base + ["--sweep-eps", "0.35,0.5"]) == 2  # too fine
+    assert cli.main(base + ["--sweep-eps", "0.5,0.7"]) == 0
+
+
 def test_cli_sharded_rejects_other_actions(dataset):
     prefix, _ = dataset
     rc = cli.main(["query", "--prefix", str(prefix), "--dataset", "er",
