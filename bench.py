@@ -34,6 +34,11 @@ edges).  Scale via env:
   FORA_BENCH_BF16    1 = bf16 hot-path gathers (default 0)
   FORA_BENCH_RMAXS   rmax_scale: push/walk balance; >1 = less push,
                      bigger index (default 1)
+  FORA_BENCH_DEFER   defer stragglers to one shared cross-pool flush once
+                     a pool's pending count drops to this value or below
+                     (default 64 = half the width floor; 0 disables) —
+                     at judged scale each 128-query pool otherwise drags
+                     ~1 straggler through a full-width level-4/5 pass
   FORA_BENCH_CHUNK   log2 edges per gather chunk (peak mem is the
                      [chunk, B] intermediate; default 21)
 Everything heavy (graph, ground truth, C++ run) is cached in
@@ -86,6 +91,7 @@ CPPQ = env_int("FORA_BENCH_CPPQ", 32)
 CACHE = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data"))
 USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
+DEFER = env_int("FORA_BENCH_DEFER", 64)
 CHUNK = 1 << env_int("FORA_BENCH_CHUNK", 21)
 SEED = 7
 
@@ -263,15 +269,29 @@ def main():
     t0 = time.time()
     results = {}
     levels_used, n_accepted = 0, 0
+    defer = DEFER if len(pools) > 1 else 0
     for pi, pool in enumerate(pools):
         res = runner.query_pool(pool, jax.random.fold_in(key, 1 + pi),
-                                batch=BATCH)
+                                batch=BATCH, defer_below=defer)
         for i, s in enumerate(pool):
-            results[int(s)] = res.node_ids[i]
+            if res.deferred is None or not res.deferred[i]:
+                results[int(s)] = res.node_ids[i]
         levels_used = max(levels_used, res.levels_used)
         n_accepted += int(res.accepted.sum())
         for st in getattr(runner, "last_level_stats", []):
             log(f"  pool {pi} level {st['level']}: "
+                f"pending={st['pending']} batches={st['batches']} "
+                f"{st['secs']}s")
+    # all pools' deferred stragglers refine together in ONE deep batch
+    dsrcs, dres = runner.flush_deferred(jax.random.fold_in(key, 777),
+                                        batch=BATCH)
+    if dres is not None:
+        for i, s in enumerate(dsrcs):
+            results[int(s)] = dres.node_ids[i]
+        levels_used = max(levels_used, dres.levels_used)
+        n_accepted += int(dres.accepted.sum())
+        for st in getattr(runner, "last_level_stats", []):
+            log(f"  flush({len(dsrcs)}) level {st['level']}: "
                 f"pending={st['pending']} batches={st['batches']} "
                 f"{st['secs']}s")
     elapsed = time.time() - t0

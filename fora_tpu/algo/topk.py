@@ -51,6 +51,10 @@ class TopkResult(NamedTuple):
     # that don't compute bounds)
     lower_bounds: Optional[np.ndarray] = None   # [B, k] f32
     upper_bounds: Optional[np.ndarray] = None   # [B, k] f32
+    # queries handed to the runner's deferred-straggler stash instead of
+    # being refined here (query_pool(defer_below=...)); their rows above
+    # are placeholders until flush_deferred() resolves them
+    deferred: Optional[np.ndarray] = None       # [B] bool
 
 
 def delta_schedule(rcfg: ResolvedConfig, k: int, stride: float = 2.0) -> list:
@@ -117,11 +121,14 @@ class TopkRunner:
         self._accept = bounds_mod.make_topk_bounds_fn(
             self.k, bounds_mod.union_bound_t(rcfg.n, len(self.deltas),
                                              rcfg.pfail), rcfg.epsilon)
-        # start level for the next pool: the first level the last pool
-        # accepted anyone at (_update_start_level); later pools skip the
-        # never-accepting levels above it
+        # start level for the next pool: the first level whose acceptances
+        # changed the last pool's downstream work (_update_start_level);
+        # later pools skip the levels above it
         self.auto_start_level = 0
         self._pools_since_probe = 0
+        # cross-pool straggler stash (query_pool(defer_below=...) /
+        # flush_deferred): list of dicts {sources, p, r, level}
+        self._deferred = []
         self._sfns = {}
         self._lsteps = {}
         self._staged = None
@@ -231,8 +238,8 @@ class TopkRunner:
         return self._lsteps[ckey]
 
     def query_pool(self, sources: np.ndarray, key: jax.Array,
-                   batch: int, start_level: Optional[int] = None
-                   ) -> TopkResult:
+                   batch: int, start_level: Optional[int] = None,
+                   defer_below: int = 0, _state=None) -> TopkResult:
         """Level-pipelined batching over a pool of queries with incremental
         push.
 
@@ -251,14 +258,27 @@ class TopkRunner:
             deep-level tail doesn't pay for padding lanes.  Each distinct
             width is one extra set of compiled shapes (cached), and
           * the START level adapts across pools (``_update_start_level``):
-            the next pool starts at the first level this pool ACCEPTED
-            anyone at, skipping never-accepting shallow levels whose push
+            the next pool starts at the first level whose acceptances
+            actually changed this pool's downstream work — levels that
+            accept nobody, or whose acceptances leave the later batch
+            shapes unchanged (width-floor pools), are skipped: their push
             work the resumed deeper push redoes more cheaply as one merged
             rmax step (``start_level`` overrides; see the method docstring
             for why a fancier argmin cost model was removed).  Starting
             deeper never weakens the guarantee — each level's acceptance
             test is self-contained — it only hands early-acceptable
-            queries a finer-than-required answer.
+            queries a finer-than-required answer, and
+          * with ``defer_below > 0``, once the pool's stragglers thin out
+            to <= defer_below (and the schedule isn't exhausted) they are
+            STASHED — state columns extracted, marked ``deferred`` in the
+            result — instead of dragging a width-floor batch through the
+            expensive deep levels once per pool; ``flush_deferred`` then
+            refines all pools' stragglers together in one shared batch
+            (measured round 2: ~1 straggler per 128-query pool cost ~6.5 s
+            of level-4/5 work per pool at judged scale).
+
+        ``_state`` (internal, used by flush_deferred): resume from the
+        given [n, |sources|] (p, r) instead of fresh one-hot state.
         """
         import time as _time
         sources = np.asarray(sources)
@@ -271,6 +291,7 @@ class TopkRunner:
         out_ub = np.full((n_q, k), np.inf, np.float32)
         max_level = 0
         accepted = np.zeros(n_q, bool)
+        deferred_mask = np.zeros(n_q, bool)
         pending = np.arange(n_q)
 
         def pick_width(n_pending: int) -> int:
@@ -287,9 +308,23 @@ class TopkRunner:
         width = pick_width(n_q)
         pad0 = (-n_q) % width
         cols = np.concatenate([pending, np.zeros(pad0, np.int64)])
-        blocks = [self._init_pool_state(
-            jnp.asarray(sources[cols[lo: lo + width]], jnp.int32))
-            for lo in range(0, len(cols), width)]
+        if _state is None:
+            blocks = [self._init_pool_state(
+                jnp.asarray(sources[cols[lo: lo + width]], jnp.int32))
+                for lo in range(0, len(cols), width)]
+        else:
+            # resume from caller-provided state columns (flush_deferred);
+            # pad by repeating the last column — padding rows g >=
+            # len(pending) are skipped at acceptance time
+            p_all, r_all = _state
+            idx = np.concatenate(
+                [np.arange(n_q), np.full(pad0, n_q - 1, np.int64)])
+            blocks = [(jnp.take(p_all, jnp.asarray(idx[lo: lo + width]),
+                                axis=1),
+                       jnp.take(r_all, jnp.asarray(idx[lo: lo + width]),
+                                axis=1))
+                      for lo in range(0, len(idx), width)]
+            del p_all, r_all, _state
 
         start = self.auto_start_level
         if start_level is None and start > 0 \
@@ -360,6 +395,18 @@ class TopkRunner:
                 pending = pending[:0]
                 break
             keep = np.asarray(keep_cols)
+            if defer_below and len(keep) <= defer_below and not last:
+                # stragglers too few to fill a batch: stash their state
+                # columns for a shared flush across pools instead of
+                # paying the deep levels at full width here
+                p_cols, r_cols = self._extract_cols(blocks, width, keep)
+                q_ids = pending[keep]
+                self._deferred.append(dict(
+                    sources=np.asarray(sources[q_ids]).copy(),
+                    p=p_cols, r=r_cols, level=level + 1))
+                deferred_mask[q_ids] = True
+                pending = pending[:0]
+                break
             pending = pending[keep]
             new_width = pick_width(len(keep))
             take = np.concatenate(
@@ -372,7 +419,49 @@ class TopkRunner:
             self._pools_since_probe += 1
         return TopkResult(node_ids=out_ids, values=out_vals,
                           levels_used=max_level, accepted=accepted,
-                          lower_bounds=out_lb, upper_bounds=out_ub)
+                          lower_bounds=out_lb, upper_bounds=out_ub,
+                          deferred=deferred_mask)
+
+    def flush_deferred(self, key: jax.Array, batch: int):
+        """Refine every stashed straggler (query_pool ``defer_below``) in
+        one shared pool, resumed from the stashed push state at the
+        shallowest stashed level.  Returns ``(sources, TopkResult)`` —
+        rows align with ``sources`` — or ``(empty, None)`` if nothing was
+        stashed.  Groups stashed at a deeper level than the flush's start
+        re-run at most one level they already passed (acceptance tests are
+        self-contained, so this is sound; in practice all pools defer at
+        the same level)."""
+        if not self._deferred:
+            return np.empty(0, np.int64), None
+        groups, self._deferred = self._deferred, []
+        srcs = np.concatenate([g["sources"] for g in groups])
+        p = (groups[0]["p"] if len(groups) == 1 else
+             jnp.concatenate([g["p"] for g in groups], axis=1))
+        r = (groups[0]["r"] if len(groups) == 1 else
+             jnp.concatenate([g["r"] for g in groups], axis=1))
+        start = min(g["level"] for g in groups)
+        for g in groups:
+            g.clear()   # release stashed buffers
+        res = self.query_pool(srcs, key, batch=batch, start_level=start,
+                              _state=(p, r))
+        return srcs, res
+
+    @staticmethod
+    def _extract_cols(blocks, width, keep):
+        """Concatenate the pool columns at positions ``keep`` (old block
+        layout, as in _reblock) into one [n, len(keep)] (p, r) pair."""
+        pieces_p, pieces_r = [], []
+        for bi, (pc, rc) in enumerate(blocks):
+            sel = keep[(keep >= bi * width) & (keep < (bi + 1) * width)]
+            if len(sel):
+                s = jnp.asarray(sel - bi * width)
+                pieces_p.append(jnp.take(pc, s, axis=1))
+                pieces_r.append(jnp.take(rc, s, axis=1))
+        p = (pieces_p[0] if len(pieces_p) == 1
+             else jnp.concatenate(pieces_p, axis=1))
+        r = (pieces_r[0] if len(pieces_r) == 1
+             else jnp.concatenate(pieces_r, axis=1))
+        return p, r
 
     # --- persisted level stats (cold-start tax) -------------------------
     #
@@ -384,7 +473,10 @@ class TopkRunner:
     # versioned the same way: stale entries (different graph sha or
     # derivation inputs) are ignored, never trusted.
 
-    LEVEL_STATS_VERSION = 1
+    # v2: start level is "first level whose acceptances changed downstream
+    # work" (was "first accepting level") — v1 records are refused so a
+    # stale shallower start is never inherited
+    LEVEL_STATS_VERSION = 2
 
     def _stats_fingerprint(self, graph_sha: Optional[str]) -> dict:
         return {
@@ -460,31 +552,50 @@ class TopkRunner:
                 for lo in range(0, p_all.shape[1], new_width)]
 
     def _update_start_level(self, n_total: int) -> None:
-        """Pick the next pool's start level: the FIRST level at which this
-        pool accepted anyone.
+        """Pick the next pool's start level: the first level whose
+        acceptances CHANGED the pool's downstream work.
 
-        Levels where nothing accepts are pure push-refinement work that
-        the next level's RESUMED push redoes more cheaply as one merged
-        rmax step (measured on v5e: one 3-4x rmax step converges in ~12
-        supersteps where stepping costs 8+9 — see delta_schedule), so
-        skipping them is a strict win.  A per-level argmin cost model was
-        tried here and REMOVED: it extrapolated each level's measured cost
-        — a resumed push over stragglers — to a from-scratch start at that
-        level; at LiveJournal scale (4.2M nodes) it chose the deepest
-        level, whose from-scratch push made pools 10x slower (262 s vs
-        ~25 s per 128 queries), with warmup compile time poisoning the
-        shallow levels' stats on top.  Starting at the first accepting
-        level never weakens the guarantee (each level's acceptance test is
+        A level earns its place in the schedule only if, per the last
+        pool's stats, it either (a) (nearly) terminated the pool — fewer
+        than max(2, pool/32) survivors — or (b) thinned the survivors
+        enough that later levels re-batched into fewer total columns
+        (batches x width, the cost unit of a level at fixed depth).
+        Levels that accept a minority while the width floor keeps the
+        batch shape unchanged are pure overhead: their push work is redone
+        more cheaply by the next level's RESUMED push as one merged rmax
+        step (measured on v5e: one 3-4x rmax step converges in ~12
+        supersteps where stepping costs 8+9 — see delta_schedule), and
+        their walk/bound work serves queries that get a finer answer for
+        free at the next level anyway (measured round 2, judged scale:
+        level 2 accepted ~25% of each 128-pool at ~10 s/pool while the
+        128-wide floor left level 3's batch identical — pure tax).
+
+        A per-level argmin cost model was tried here and REMOVED: it
+        extrapolated each level's measured cost — a resumed push over
+        stragglers — to a from-scratch start at that level; at LiveJournal
+        scale (4.2M nodes) it chose the deepest level, whose from-scratch
+        push made pools 10x slower (262 s vs ~25 s per 128 queries), with
+        warmup compile time poisoning the shallow levels' stats on top.
+        This rule uses only STRUCTURAL facts (survivor counts and batch
+        shapes), never extrapolated timings, and the near-termination
+        guard keeps it off the expensive deep levels.  Starting deeper
+        never weakens the guarantee (each level's acceptance test is
         self-contained); the periodic probe in query_pool re-checks one
         level shallower in case the workload drifts.
         """
-        del n_total
         stats = self.last_level_stats
         if not stats:
             return
-        first_accepting = stats[-1]["level"]
-        for st in stats:
-            if st["accepted"] > 0:
-                first_accepting = st["level"]
-                break
-        self.auto_start_level = first_accepting
+        near_term = max(2, n_total // 32)
+        start = stats[0]["level"]
+        for i, st in enumerate(stats):
+            survivors = st["pending"] - st["accepted"]
+            if survivors < near_term:
+                break   # this level (nearly) terminates pools: keep it
+            nxt = stats[i + 1] if i + 1 < len(stats) else None
+            if nxt is None:
+                break   # schedule exhausted here: nothing deeper to merge
+            if nxt["batches"] * nxt["width"] < st["batches"] * st["width"]:
+                break   # acceptances shrank downstream batches: keep it
+            start = nxt["level"]
+        self.auto_start_level = start

@@ -198,3 +198,76 @@ def test_level_stats_persist_across_runners(tmp_path):
     assert not r3.load_level_stats(tmp_path / "nope.json", sha)
     (tmp_path / "bad.json").write_text("{")
     assert not r3.load_level_stats(tmp_path / "bad.json", sha)
+
+
+def test_topk_pool_straggler_deferral_indexed():
+    """defer_below stashes thinned-out stragglers; flush_deferred resumes
+    them from the stashed push state.  In indexed mode the walk phase is a
+    deterministic SpMV, so deferral + flush reproduces the uninterrupted
+    pool refinement bitwise."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    sources = np.arange(20)
+    key = jax.random.key(9)
+
+    base_runner = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx)
+    base = base_runner.query_pool(sources, key, batch=8, start_level=0)
+    assert base.accepted.all()
+
+    r = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx)
+    part = r.query_pool(sources, key, batch=8, start_level=0,
+                        defer_below=19)
+    assert part.deferred is not None and part.deferred.any()
+    done = ~part.deferred
+    np.testing.assert_array_equal(part.node_ids[done], base.node_ids[done])
+
+    dsrcs, dres = r.flush_deferred(jax.random.key(77), batch=8)
+    assert dres is not None and len(dsrcs) == int(part.deferred.sum())
+    combined_ids = part.node_ids.copy()
+    combined_acc = part.accepted.copy()
+    for i, s in enumerate(dsrcs):
+        q = int(np.where(sources == s)[0][0])
+        combined_ids[q] = dres.node_ids[i]
+        combined_acc[q] = dres.accepted[i]
+    np.testing.assert_array_equal(combined_ids, base.node_ids)
+    np.testing.assert_array_equal(combined_acc, base.accepted)
+    # the stash is consumed; a second flush is a no-op
+    empty_srcs, none_res = r.flush_deferred(jax.random.key(78), batch=8)
+    assert len(empty_srcs) == 0 and none_res is None
+
+
+def test_update_start_level_structural_rule():
+    """The start level skips levels whose acceptances leave downstream
+    batch shapes unchanged, and keeps levels that (nearly) terminate the
+    pool or shrink later batches."""
+    g = generators.erdos_renyi(200, 1500, seed=5)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    r = topk_algo.TopkRunner(dg, rcfg, k=8)
+
+    def mk(lvl, pend, acc, batches, width):
+        return dict(level=lvl, delta=0.0, width=width, batches=batches,
+                    pending=pend, accepted=acc, accepted_bound_only=0,
+                    secs=0.0)
+
+    # round-2 judged-scale shape: dead levels 0-1, minority-accept level 2
+    # at the width floor (batch shape unchanged), level 3 nearly terminates
+    r.last_level_stats = [mk(0, 128, 0, 1, 128), mk(1, 128, 0, 1, 128),
+                          mk(2, 128, 34, 1, 128), mk(3, 94, 93, 1, 128),
+                          mk(4, 1, 1, 1, 128)]
+    r._update_start_level(128)
+    assert r.auto_start_level == 3
+
+    # a level whose acceptances shrink downstream batches is kept
+    r.last_level_stats = [mk(0, 512, 0, 2, 256), mk(1, 512, 300, 2, 256),
+                          mk(2, 212, 212, 1, 256)]
+    r._update_start_level(512)
+    assert r.auto_start_level == 1
+
+    # a level that (nearly) terminates pools is kept
+    r.last_level_stats = [mk(0, 128, 126, 1, 128)]
+    r._update_start_level(128)
+    assert r.auto_start_level == 0
