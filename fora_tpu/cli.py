@@ -85,6 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-k refinement delta divisor per level")
     p.add_argument("--accept-slack", type=float, default=1.0,
                    help=">1 tightens the top-k stopping rule")
+    p.add_argument("--pool", type=int, default=0,
+                   help="batch-topk: split the query set into resident "
+                        "pools of this many queries (0 = one pool).  The "
+                        "pool's [n, pool] push state must fit HBM: at "
+                        "LiveJournal scale (4.2M nodes) 128 is the "
+                        "measured single-chip ceiling")
+    p.add_argument("--defer", type=int, default=64,
+                   help="batch-topk with --pool: stash a pool's stragglers "
+                        "once <= this many remain and refine all pools' "
+                        "stragglers together in one final batch "
+                        "(0 disables)")
     p.add_argument("--start-level", type=int, default=None,
                    help="pin batch-topk's first delta level (default: "
                         "learned/persisted first-accepting level)")
@@ -435,11 +446,24 @@ def _main(argv=None) -> int:
                 runner.load_level_stats(_level_stats_path(args), graph_sha):
             info("start level from persisted stats",
                  level=runner.auto_start_level)
+        pool_w = args.pool if args.pool > 0 else len(sources)
+        pools = [sources[i:i + pool_w]
+                 for i in range(0, len(sources), pool_w)]
+        defer = args.defer if len(pools) > 1 else 0
         with timers.phase("topk"):
-            res = runner.query_pool(sources, key, batch=args.batch,
-                                    start_level=args.start_level)
-        for i, s in enumerate(sources):
-            results[int(s)] = (res.node_ids[i], res.values[i])
+            for pi, pool in enumerate(pools):
+                res = runner.query_pool(
+                    pool, jax.random.fold_in(key, pi) if pi else key,
+                    batch=args.batch, start_level=args.start_level,
+                    defer_below=defer)
+                for i, s in enumerate(pool):
+                    if res.deferred is None or not res.deferred[i]:
+                        results[int(s)] = (res.node_ids[i], res.values[i])
+            dsrcs, dres = runner.flush_deferred(
+                jax.random.fold_in(key, 1 << 20), batch=args.batch)
+            if dres is not None:
+                for i, s in enumerate(dsrcs):
+                    results[int(s)] = (dres.node_ids[i], dres.values[i])
         if idx is not None and args.start_level is None:
             try:
                 runner.save_level_stats(_level_stats_path(args), graph_sha)
