@@ -100,18 +100,24 @@ def test_cli_sharded_store_matches_in_memory(dataset, tmp_path):
         {s: r["ids"] for s, r in mono.items()}
 
 
-def test_cli_batch_topk_pooled_deferral_matches_single(dataset, tmp_path):
+@pytest.mark.parametrize("shard", [[], ["--graph-shards", "4",
+                                       "--exchange", "routed"]],
+                         ids=["single-chip", "sharded"])
+def test_cli_batch_topk_pooled_deferral_matches_single(dataset, tmp_path,
+                                                       shard):
     """--pool splits the query set into resident pools (the HBM-bounded
     production shape) and --defer flushes all pools' stragglers in one
     shared batch.  Indexed mode is a deterministic SpMV, and each query's
     state column evolves independently of its pool-mates, so pooled +
-    deferred results match the single-pool run exactly."""
+    deferred results match the single-pool run exactly — on the sharded
+    runner too (state columns are row-sharded; extraction/concat along
+    the query axis preserves the sharding)."""
     prefix, g = dataset
     single = _run_batch_topk(prefix, tmp_path / "one.jsonl",
-                             ["--start-level", "0"])
+                             ["--start-level", "0"] + shard)
     pooled = _run_batch_topk(prefix, tmp_path / "pooled.jsonl",
                              ["--start-level", "0", "--pool", "4",
-                              "--defer", "3"])
+                              "--defer", "3"] + shard)
     assert set(pooled) == set(single)
     for s in single:
         assert pooled[s]["ids"] == single[s]["ids"], s
