@@ -217,10 +217,19 @@ def main():
         if (idx_dir / "meta.json").exists():
             index = widx.load(str(idx_dir), rcfg, graph=g)
         else:
+            import shutil
             log("building FORA+ walk index ...")
             t0 = time.time()
-            index = widx.build_walk_index(dg, rcfg, jax.random.key(SEED))
+            # chunk checkpoints: a preempted/wedged build resumes where it
+            # stopped (bit-identical); progress lines make a hung remote
+            # runtime diagnosable from the log
+            ckpt = str(idx_dir) + ".ckpt"
+            index = widx.build_walk_index(
+                dg, rcfg, jax.random.key(SEED), checkpoint_dir=ckpt,
+                progress=lambda i, n, cached: None if cached else log(
+                    f"  walk chunk {i + 1}/{n} ({time.time()-t0:.0f}s)"))
             widx.save(index, rcfg, str(idx_dir), graph=g)
+            shutil.rmtree(ckpt, ignore_errors=True)
             log(f"index built in {time.time()-t0:.1f}s "
                 f"({index.total_edges} edges)")
 

@@ -137,7 +137,7 @@ def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
 
 def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
                     chunk: int, checkpoint_dir: Optional[str],
-                    fingerprint: dict) -> np.ndarray:
+                    fingerprint: dict, progress=None) -> np.ndarray:
     """Shared chunk loop for index builders: drive ``run(starts_chunk,
     chunk_key) -> endpoints`` over lane-chunks with optional crash-resume
     checkpoints.
@@ -187,6 +187,8 @@ def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
             f = ckpt / f"chunk_{i:06d}.npy"
             if f.exists():
                 endpoints[lo:hi] = np.load(f)
+                if progress is not None:
+                    progress(i, n_chunks, True)
                 continue
         pad = chunk - (hi - lo)
         s = np.pad(starts[lo:hi], (0, pad))
@@ -197,13 +199,16 @@ def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
             with open(tmp, "wb") as fh:   # np.save(path) would append .npy
                 np.save(fh, endpoints[lo:hi])
             tmp.rename(ckpt / f"chunk_{i:06d}.npy")
+        if progress is not None:
+            progress(i, n_chunks, False)
     return endpoints
 
 
 def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
                      key: jax.Array, *, max_per_node: Optional[int] = None,
                      chunk: int = 1 << 21,
-                     checkpoint_dir: Optional[str] = None) -> WalkIndex:
+                     checkpoint_dir: Optional[str] = None,
+                     progress=None) -> WalkIndex:
     """Run all index walks on device in lane-chunks, then pack the
     multi-resolution bucketed SpMV layout on the host.  Crash-resume via
     ``checkpoint_dir`` (see run_walk_chunks).  For graphs whose full CSR
@@ -230,7 +235,7 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
     from .store import graph_fingerprint
     endpoints = run_walk_chunks(
         run, counts, total, key, chunk=chunk,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, progress=progress,
         # graph content hash: resuming against a rewired same-shape graph
         # must refuse, not silently mix endpoint chunks from two graphs.
         fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
