@@ -267,17 +267,21 @@ def _main(argv=None) -> int:
         # stopped; a stale checkpoint (different config/graph/key) is
         # discarded and the build restarts clean
         ckpt = Path(_index_dir(args)) / ".build_ckpt"
+        prog = (lambda i, n, cached: None if cached or (i + 1) % 8 else
+                info("walk chunks", done=i + 1, total=n))
         with timers.phase("build"):
             try:
                 idx = widx.build_walk_index(dg, rcfg, key,
-                                            checkpoint_dir=str(ckpt))
+                                            checkpoint_dir=str(ckpt),
+                                            progress=prog)
             except ValueError as e:
                 if "checkpoint" not in str(e):
                     raise
                 info("discarding stale build checkpoint", dir=str(ckpt))
                 shutil.rmtree(ckpt, ignore_errors=True)
                 idx = widx.build_walk_index(dg, rcfg, key,
-                                            checkpoint_dir=str(ckpt))
+                                            checkpoint_dir=str(ckpt),
+                                            progress=prog)
         widx.save(idx, rcfg, _index_dir(args), graph=g)
         shutil.rmtree(ckpt, ignore_errors=True)
         info("index built", dir=_index_dir(args),
