@@ -87,16 +87,23 @@ def exact_ppr_power(g: CSRGraph, source: int, alpha: float = 0.2,
 
 def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
                           tol: float = 1e-12, max_iters: int = 2000,
-                          progress=None) -> np.ndarray:
+                          progress=None, threads: int = None) -> np.ndarray:
     """Batched float64 power iteration over all sources at once.
 
-    One scipy.sparse CSR operand, one [n, B] dense iterate: O(m * B) per
-    iteration through scipy's C matvec instead of B separate numpy
-    bincount passes — the only way ground truth at LiveJournal scale
-    (4M+ nodes, 64+ eval sources) finishes in minutes on a 2-CPU host.
-    Semantics identical to exact_ppr_power (absorbing dangling rows).
+    One scipy.sparse CSR operand (row-split across ``threads`` — scipy's
+    matmat releases the GIL), one ping-pong [n, B] dense iterate pair:
+    O(m * B) per iteration with NO per-iteration [n, B] temporaries.
+    The naive ``E + (1-a) * (A @ X)`` formulation allocated three [n, B]
+    float64 temporaries per iteration (4.3 GB each at LiveJournal scale,
+    128 eval sources) — page-zeroing those dominated the sweep (measured
+    round 3: ~150 s/iteration, i.e. hours to tol); the in-place split
+    form runs the same iteration at a fraction of that.  Semantics
+    identical to exact_ppr_power (absorbing dangling rows).
     Returns [n, B] float64.
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import scipy.sparse as sp
     n = g.n
     sources = np.asarray(sources, dtype=np.int64)
@@ -120,17 +127,35 @@ def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
     data = np.concatenate([data, np.ones(len(dangling))])
     A = sp.csr_matrix((data, (rows, cols)), shape=(n, n))
 
+    T = threads or min(4, os.cpu_count() or 1)
+    lo = [i * n // T for i in range(T + 1)]
+    parts = [A[lo[i]: lo[i + 1]] for i in range(T)]
+
+    cols_b = np.arange(B)
     X = np.zeros((n, B), dtype=np.float64)
-    X[sources, np.arange(B)] = 1.0
-    E = alpha * X.copy()
-    for it in range(max_iters):
-        nxt = E + (1.0 - alpha) * (A @ X)
-        err = np.abs(nxt - X).sum(axis=0).max()
-        X = nxt
-        if progress is not None and it % 20 == 0:
-            progress(it, float(err))
-        if err <= tol:
-            break
+    X[sources, cols_b] = 1.0
+    XN = np.empty_like(X)
+    err_chunk = 1 << 17
+
+    def one_part(i):
+        Y = parts[i] @ X                 # [rows_i, B]
+        Y *= (1.0 - alpha)
+        XN[lo[i]: lo[i + 1]] = Y
+
+    with ThreadPoolExecutor(T) as ex:
+        for it in range(max_iters):
+            list(ex.map(one_part, range(T)))
+            XN[sources, cols_b] += alpha     # E = alpha * e_s per column
+            err_col = np.zeros(B)
+            for c in range(0, n, err_chunk):
+                err_col += np.abs(XN[c: c + err_chunk]
+                                  - X[c: c + err_chunk]).sum(axis=0)
+            err = float(err_col.max())
+            X, XN = XN, X                    # ping-pong, no reallocation
+            if progress is not None and it % 20 == 0:
+                progress(it, err)
+            if err <= tol:
+                break
     return X
 
 
