@@ -130,6 +130,14 @@ def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
     T = threads or min(4, os.cpu_count() or 1)
     lo = [i * n // T for i in range(T + 1)]
     parts = [A[lo[i]: lo[i + 1]] for i in range(T)]
+    # raw kernel writes straight into the ping-pong buffer: the public
+    # ``A @ X`` allocates (and page-zeroes) a fresh [rows, B] output per
+    # call, which at 4.2M x 128 f64 costs more than the arithmetic
+    try:
+        from scipy.sparse import _sparsetools
+        _matvecs = _sparsetools.csr_matvecs       # Y += A @ X, flat C-order
+    except (ImportError, AttributeError):
+        _matvecs = None
 
     cols_b = np.arange(B)
     X = np.zeros((n, B), dtype=np.float64)
@@ -138,9 +146,15 @@ def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
     err_chunk = 1 << 17
 
     def one_part(i):
-        Y = parts[i] @ X                 # [rows_i, B]
-        Y *= (1.0 - alpha)
-        XN[lo[i]: lo[i + 1]] = Y
+        Yi = XN[lo[i]: lo[i + 1]]
+        Ai = parts[i]
+        if _matvecs is not None:
+            Yi.fill(0.0)
+            _matvecs(Ai.shape[0], n, B, Ai.indptr, Ai.indices, Ai.data,
+                     X.ravel(), Yi.ravel())
+        else:
+            Yi[...] = Ai @ X
+        Yi *= (1.0 - alpha)
 
     with ThreadPoolExecutor(T) as ex:
         for it in range(max_iters):
