@@ -136,7 +136,17 @@ def exact_ppr_power_batch(g: CSRGraph, sources, alpha: float = 0.2,
     try:
         from scipy.sparse import _sparsetools
         _matvecs = _sparsetools.csr_matvecs       # Y += A @ X, flat C-order
-    except (ImportError, AttributeError):
+        # one-time sanity check of the private kernel's contract (Y += A@X
+        # over C-order flats): a future scipy signature/semantic change
+        # must fall back to the public matmul, not corrupt inside workers
+        _At = sp.csr_matrix(np.array([[0.0, 1.5], [2.0, 0.0]]))
+        _Xt = np.array([[1.0, 2.0], [3.0, 4.0]])
+        _Yt = np.ones((2, 2))
+        _matvecs(2, 2, 2, _At.indptr, _At.indices, _At.data,
+                 _Xt.ravel(), _Yt.ravel())
+        if not np.allclose(_Yt, 1.0 + _At @ _Xt):
+            _matvecs = None
+    except Exception:
         _matvecs = None
 
     cols_b = np.arange(B)

@@ -424,27 +424,40 @@ class TopkRunner:
 
     def flush_deferred(self, key: jax.Array, batch: int):
         """Refine every stashed straggler (query_pool ``defer_below``) in
-        one shared pool, resumed from the stashed push state at the
-        shallowest stashed level.  Returns ``(sources, TopkResult)`` —
-        rows align with ``sources`` — or ``(empty, None)`` if nothing was
-        stashed.  Groups stashed at a deeper level than the flush's start
-        re-run at most one level they already passed (acceptance tests are
-        self-contained, so this is sound; in practice all pools defer at
-        the same level)."""
+        one shared pool per distinct stashed level, resumed from the
+        stashed push state.  Returns ``(sources, TopkResult)`` — rows align
+        with ``sources`` — or ``(empty, None)`` if nothing was stashed.
+        Flushing per distinct level (not from the minimum) keeps the trial
+        count behind ``union_bound_t`` exact: no group re-runs a level it
+        already attempted with fresh randomness.  In practice all pools
+        defer at the same level, so this is still one pool."""
         if not self._deferred:
             return np.empty(0, np.int64), None
         groups, self._deferred = self._deferred, []
-        srcs = np.concatenate([g["sources"] for g in groups])
-        p = (groups[0]["p"] if len(groups) == 1 else
-             jnp.concatenate([g["p"] for g in groups], axis=1))
-        r = (groups[0]["r"] if len(groups) == 1 else
-             jnp.concatenate([g["r"] for g in groups], axis=1))
-        start = min(g["level"] for g in groups)
+        by_level: dict = {}
         for g in groups:
-            g.clear()   # release stashed buffers
-        res = self.query_pool(srcs, key, batch=batch, start_level=start,
-                              _state=(p, r))
-        return srcs, res
+            by_level.setdefault(g["level"], []).append(g)
+        all_srcs, parts = [], []
+        for li, (start, gs) in enumerate(sorted(by_level.items())):
+            srcs = np.concatenate([g["sources"] for g in gs])
+            p = (gs[0]["p"] if len(gs) == 1 else
+                 jnp.concatenate([g["p"] for g in gs], axis=1))
+            r = (gs[0]["r"] if len(gs) == 1 else
+                 jnp.concatenate([g["r"] for g in gs], axis=1))
+            for g in gs:
+                g.clear()   # release stashed buffers
+            parts.append(self.query_pool(
+                srcs, jax.random.fold_in(key, li), batch=batch,
+                start_level=start, _state=(p, r)))
+            all_srcs.append(srcs)
+        if len(parts) == 1:
+            return all_srcs[0], parts[0]
+        cat = lambda f: np.concatenate([getattr(r, f) for r in parts])
+        return np.concatenate(all_srcs), TopkResult(
+            node_ids=cat("node_ids"), values=cat("values"),
+            levels_used=max(r.levels_used for r in parts),
+            accepted=cat("accepted"), lower_bounds=cat("lower_bounds"),
+            upper_bounds=cat("upper_bounds"), deferred=cat("deferred"))
 
     @staticmethod
     def _extract_cols(blocks, width, keep):
@@ -597,5 +610,14 @@ class TopkRunner:
                 break   # schedule exhausted here: nothing deeper to merge
             if nxt["batches"] * nxt["width"] < st["batches"] * st["width"]:
                 break   # acceptances shrank downstream batches: keep it
+            if nxt["level"] >= len(self.deltas) - 1:
+                # never ratchet INTO the final schedule level without a
+                # near-termination signal: a trickle workload (every level
+                # accepts a few, shapes pinned at the width floor) would
+                # otherwise walk the start to the deepest level, whose
+                # from-scratch push is the measured 10x regression the
+                # removed argmin model hit, and the shallow probe only
+                # recovers one level per PROBE_EVERY pools
+                break
             start = nxt["level"]
         self.auto_start_level = start

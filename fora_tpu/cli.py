@@ -267,7 +267,11 @@ def _main(argv=None) -> int:
         # stopped; a stale checkpoint (different config/graph/key) is
         # discarded and the build restarts clean
         ckpt = Path(_index_dir(args)) / ".build_ckpt"
-        prog = (lambda i, n, cached: None if cached or (i + 1) % 8 else
+        # log every 8th chunk AND always the final one, so a completed
+        # build's log ends with a completion line (the log's purpose is
+        # diagnosing hangs — an absent final line must mean "not done")
+        prog = (lambda i, n, cached: None
+                if cached or ((i + 1) % 8 and i + 1 != n) else
                 info("walk chunks", done=i + 1, total=n))
         with timers.phase("build"):
             try:
