@@ -73,8 +73,28 @@ def enable_compile_cache():
     cache_dir = Path(os.environ.get("FORA_BENCH_CACHE", "bench_data")) / "jaxcache"
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERYTHING: each trivial eager op costs a ~0.5 s remote-compile
+    # roundtrip through the axon tunnel, and a cold warmup pays ~100 of
+    # them (~50 s, measured round 4, bench_r4_coldlog) — the default
+    # "don't persist sub-1s compiles" heuristic assumes local compiles
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if env_int("FORA_BENCH_LOGCOMPILES", 0):
+        # diagnose the escaping cold-start recompile: name every program
+        # that misses the persistent cache and when it compiles
+        import logging
+        jax.config.update("jax_log_compiles", True)
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except AttributeError:
+            pass
+        h = logging.StreamHandler(sys.stderr)
+        h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(message)s"))
+        for name in ("jax._src.compiler", "jax._src.compilation_cache",
+                     "jax._src.interpreters.pxla", "jax._src.pjit"):
+            lg = logging.getLogger(name)
+            lg.setLevel(logging.DEBUG)
+            lg.addHandler(h)
 
 
 NLOG2 = env_int("FORA_BENCH_NLOG2", 22)

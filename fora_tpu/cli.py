@@ -47,7 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("action", choices=["query", "topk", "batch-topk", "build",
                                       "generate-ss-query", "gen-exact-topk",
-                                      "serve", "sweep"])
+                                      "serve", "sweep", "shard-graph"])
+    p.add_argument("--shard-counts", default=None,
+                   help="shard-graph: comma list of graph-shard counts to "
+                        "persist (default: --graph-shards); sharded "
+                        "batch-topk/serve then mmap only own rows' files "
+                        "instead of loading + partitioning the full graph")
     p.add_argument("--port", type=int, default=8471, help="serve action port")
     p.add_argument("--sweep-eps", default="0.1,0.2,0.35,0.5",
                    help="epsilon grid for the sweep action")
@@ -218,8 +223,10 @@ def _main(argv=None) -> int:
                 Path(args.prefix) / ".jaxcache")
             Path(cache_dir).mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # 0.0: persist even trivial-op compiles — each costs a ~0.5 s
+            # remote roundtrip on tunneled runtimes (measured round 4)
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
         except (OSError, AttributeError):
             pass
     log = RunLog(args.runlog)
@@ -232,10 +239,25 @@ def _main(argv=None) -> int:
         info("query set written", path=str(_query_file(args)), count=len(src))
         return 0
 
-    g = _load(args)
+    # sharded batch-topk/serve: prefer the shard-aware graph store — no
+    # process then materializes the full CSR or runs the O(m) partition
+    # pass (SURVEY.md Sec. 5.4 "each host loads only its rows")
+    g_store = None
+    if args.graph_shards > 1 and args.action in ("batch-topk", "serve"):
+        from .parallel.graph_store import ShardedGraphStore
+        try:
+            g_store = ShardedGraphStore(
+                str(Path(args.prefix) / args.dataset), args.graph_shards)
+            info("sharded graph store", dir=str(g_store.dir),
+                 per_shard_mb=round(g_store.bytes_per_shard() / 1e6, 1))
+        except FileNotFoundError:
+            info("no sharded graph store; loading monolithic graph "
+                 "(persist one with the shard-graph action)")
+    g = _load(args) if g_store is None else None
     cfg = ForaConfig(alpha=args.alpha, epsilon=args.epsilon, delta=args.delta,
                      pfail=args.pfail, k=args.k)
-    rcfg = cfg.resolved(g.n, g.m)
+    rcfg = cfg.resolved(*((g.n, g.m) if g is not None
+                          else (g_store.n, g_store.m)))
     info("config", rmax=f"{rcfg.rmax:.3g}", omega_unit=f"{rcfg.omega_unit:.3g}",
          delta=f"{rcfg.delta:.3g}")
 
@@ -250,6 +272,21 @@ def _main(argv=None) -> int:
                                              alpha=args.alpha)
             np.savez(out / f"{int(s)}.npz", ids=ids, vals=vals)
         info("exact top-k written", dir=str(out), count=len(sources))
+        print(timers.report(), file=sys.stderr)
+        return 0
+
+    if args.action == "shard-graph":
+        from .parallel.graph_store import save_sharded_graph
+        counts = [int(x) for x in
+                  (args.shard_counts or str(args.graph_shards)).split(",")]
+        for c in counts:
+            if c < 2:
+                raise ValueError(f"shard count {c} must be >= 2 "
+                                 "(pass --shard-counts or --graph-shards)")
+            with timers.phase(f"shard-graph-{c}"):
+                d = save_sharded_graph(
+                    g, str(Path(args.prefix) / args.dataset), c)
+            info("sharded graph store written", dir=str(d), shards=c)
         print(timers.report(), file=sys.stderr)
         return 0
 
@@ -292,10 +329,18 @@ def _main(argv=None) -> int:
              endpoints=idx.total_edges, bytes=widx.index_nbytes(idx))
         if args.index_shards:
             from .index import store as widx_store
+            from .parallel.graph_store import save_sharded_graph
             for gshards in [int(x) for x in args.index_shards.split(",")]:
                 d = widx_store.save_sharded(idx, rcfg, _index_dir(args),
                                             gshards, graph=g)
                 info("sharded store written", dir=str(d), shards=gshards)
+                # the sharded index is consumed together with the sharded
+                # GRAPH store — persist both so engine start touches no
+                # global array (SURVEY.md Sec. 5.4)
+                dgs = save_sharded_graph(
+                    g, str(Path(args.prefix) / args.dataset), gshards)
+                info("sharded graph store written", dir=str(dgs),
+                     shards=gshards)
         print(timers.report(), file=sys.stderr)
         return 0
 
@@ -352,13 +397,20 @@ def _main(argv=None) -> int:
     if args.with_idx:
         from . import index as widx
         from .index.store import ShardedIndexStore
-        graph_sha = widx.graph_fingerprint(g)
+        graph_sha = (widx.graph_fingerprint(g) if g is not None
+                     else g_store.graph_sha)
         if sharded:
             # prefer the shard-aware store: each host reads only its rows'
             # files and no global edge array exists in host RAM
             try:
                 idx = ShardedIndexStore(_index_dir(args), args.graph_shards,
                                         rcfg, graph=g)
+                if g is None and graph_sha is not None \
+                        and idx.meta.get("graph_sha") is not None \
+                        and idx.meta["graph_sha"] != graph_sha:
+                    raise ValueError(
+                        "sharded index was built for a different graph "
+                        "(fingerprint mismatch vs the graph store)")
                 info("sharded index store", dir=str(idx.dir),
                      per_shard_mb=round(idx.bytes_per_shard() / 1e6, 1))
             except FileNotFoundError:
@@ -370,7 +422,8 @@ def _main(argv=None) -> int:
 
     if args.action == "serve":
         from .serve import serve_forever
-        runner = _make_topk_runner(args, g, dg, rcfg, idx)
+        runner = _make_topk_runner(
+            args, g_store if g_store is not None else g, dg, rcfg, idx)
         if idx is not None and runner.load_level_stats(
                 _level_stats_path(args), graph_sha):
             info("start level from persisted stats",
@@ -449,7 +502,8 @@ def _main(argv=None) -> int:
         # level-pipelined pool scheduling: accepted queries exit early,
         # stragglers re-batch at deeper delta levels; --graph-shards > 1
         # runs the same pool shard_mapped over the ('graph','query') mesh
-        runner = _make_topk_runner(args, g, dg, rcfg, idx)
+        runner = _make_topk_runner(
+            args, g_store if g_store is not None else g, dg, rcfg, idx)
         if idx is not None and args.start_level is None and \
                 runner.load_level_stats(_level_stats_path(args), graph_sha):
             info("start level from persisted stats",
@@ -478,7 +532,8 @@ def _main(argv=None) -> int:
             except OSError:
                 pass  # read-only index dir
     else:  # topk
-        runner = _make_topk_runner(args, g, dg, rcfg, idx)
+        runner = _make_topk_runner(
+            args, g_store if g_store is not None else g, dg, rcfg, idx)
         for chunk, valid in _batched(sources, args.batch):
             res = timers.timed("topk", runner.query, jnp.asarray(chunk),
                                jax.random.fold_in(key, int(chunk[0])))
@@ -495,6 +550,10 @@ def _main(argv=None) -> int:
 
     if args.eval_exact:
         from .algo import exact
+        if g is None:
+            # store-backed runs never load the full graph; the exact
+            # oracle (offline eval, explicitly slow) is the exception
+            g = _load(args)
         precs = []
         for s, (ids, _) in results.items():
             f = exact_dir / f"{s}.npz"

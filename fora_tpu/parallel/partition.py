@@ -76,16 +76,18 @@ def partition_rows(g: CSRGraph, n_shards: int,
     dst_flat = np.full(n_shards * m_loc, n_loc, dtype=np.int32)  # pad: dropped
     w_flat = (np.zeros(n_shards * m_loc, dtype=np.float32)
               if g.weighted else None)
-    # in-edges are dst-sorted, so each shard's edges are contiguous
+    # in-edges are dst-sorted, so each shard's edges are contiguous; one
+    # vectorized scatter places every edge (no per-shard Python loop)
     edge_start = np.zeros(n_shards + 1, dtype=np.int64)
     np.cumsum(counts, out=edge_start[1:])
-    for s in range(n_shards):
-        lo, hi = edge_start[s], edge_start[s + 1]
-        k = hi - lo
-        src_flat[s * m_loc: s * m_loc + k] = in_src[lo:hi]
-        dst_flat[s * m_loc: s * m_loc + k] = in_dst[lo:hi] - s * n_loc
+    if g.m:
+        pos = (shard_of_edge * m_loc
+               + np.arange(g.m, dtype=np.int64)
+               - edge_start[shard_of_edge])
+        src_flat[pos] = in_src
+        dst_flat[pos] = in_dst - shard_of_edge * n_loc
         if w_flat is not None:
-            w_flat[s * m_loc: s * m_loc + k] = g.in_w[lo:hi]
+            w_flat[pos] = g.in_w
 
     deg = np.zeros(n_pad, dtype=np.int32)
     deg[:n] = np.asarray(g.out_deg)

@@ -529,12 +529,16 @@ def _resolve_exchange(exchange, ragged_exchange, pallas_ring):
     return exchange
 
 
-def _array_from_shards(mesh, store, key: str, shape, dtype):
+def _array_from_shards(mesh, store, key: str, shape, dtype, transform=None):
     """Assemble a P('graph')-sharded global array by serving each device's
-    slice from its shard's on-disk file (ShardedIndexStore.shard mmap
-    views).  ``jax.make_array_from_callback`` only invokes the callback for
+    slice from its shard's on-disk file (ShardedIndexStore /
+    ShardedGraphStore ``.shard`` mmap views).
+    ``jax.make_array_from_callback`` only invokes the callback for
     ADDRESSABLE devices, so on a multi-host mesh each host touches only the
-    files of the shards it owns — per-host load is ~1/H of the index."""
+    files of the shards it owns — per-host load is ~1/H of the data.
+    ``transform`` (optional): applied to the raw shard array before dtype
+    conversion (e.g. deriving the per-host routing mask from the per-chip
+    one)."""
     sharding = jax.sharding.NamedSharding(mesh, P(GRAPH_AXIS))
     per = shape[0] // store.n_shards
     cache = {}
@@ -542,8 +546,10 @@ def _array_from_shards(mesh, store, key: str, shape, dtype):
     def cb(idx):
         s = (idx[0].start or 0) // per
         if s not in cache:   # query-axis replicas share one file read
-            cache[s] = np.ascontiguousarray(
-                store.shard(s)[key]).astype(dtype, copy=False)
+            a = store.shard(s)[key]
+            if transform is not None:
+                a = transform(a)
+            cache[s] = np.ascontiguousarray(a).astype(dtype, copy=False)
         return cache[s]
 
     out = jax.make_array_from_callback(shape, sharding, cb)
@@ -551,19 +557,48 @@ def _array_from_shards(mesh, store, key: str, shape, dtype):
     return out
 
 
+class _StorePlacementMeta(NamedTuple):
+    """The few PartitionedGraph fields the engine reads when the graph is
+    served from a ShardedGraphStore (no global arrays exist)."""
+    n_shards: int
+    n_loc: int
+    m_loc: int
+    weighted: bool
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_shards * self.n_loc
+
+
 class _ShardedPlacement:
     """Partitions graph (+ index) rows over the mesh's 'graph' axis and
     places every per-shard array; shared by the one-shot engine and the
     pool runner."""
 
-    def __init__(self, g: CSRGraph, mesh, index=None, *,
+    def __init__(self, g, mesh, index=None, *,
                  exchange: str = "dense", exchange_capacity_frac: float = 0.125,
                  with_walk_side: bool = True,
                  chips_per_host: Optional[int] = None):
+        from .graph_store import ShardedGraphStore
         self.mesh = mesh
         G = mesh.shape[GRAPH_AXIS]
         self.G = G
-        pg = part.partition_rows(g, G)
+        from_store = isinstance(g, ShardedGraphStore)
+        if from_store:
+            # shard-aware graph store (SURVEY.md Sec. 5.4): each shard's
+            # arrays stream from its own mmap files straight onto its
+            # device — no process materializes the full CSR or runs the
+            # O(m) partition pass; on a multi-host mesh each host reads
+            # only its rows' files (make_array_from_callback invokes the
+            # callback for addressable devices only).
+            if g.n_shards != G:
+                raise ValueError(
+                    f"graph store is {g.n_shards}-way, mesh graph axis is "
+                    f"{G}; re-save with save_sharded_graph(..., {G})")
+            pg = _StorePlacementMeta(n_shards=G, n_loc=g.n_loc,
+                                     m_loc=g.m_loc, weighted=g.weighted)
+        else:
+            pg = part.partition_rows(g, G)
         self.pg = pg
         self.exchange = exchange
         self.exchange_cap = (
@@ -582,13 +617,58 @@ class _ShardedPlacement:
 
         self.gspec, self.rep = P(GRAPH_AXIS), P()
         gspec = self.gspec
+        self.weighted = pg.weighted
+        n_loc = pg.n_loc
+        if from_store:
+            fs = functools.partial(_array_from_shards, mesh, g)
+            if exchange in ("routed", "ragged"):
+                needed = fs("needed", (G * G, n_loc), bool)
+            elif exchange == "hier":
+                H = G // chips_per_host
+                C = chips_per_host
+                needed = fs("needed", (G * H, n_loc), bool,
+                            transform=lambda a: a.reshape(
+                                H, C, n_loc).any(axis=1))
+            else:
+                needed = put(np.zeros((G, 1), dtype=bool), gspec)
+            m_loc = pg.m_loc
+            in_w = (fs("in_w", (G * m_loc,), np.float32) if self.weighted
+                    else put(np.zeros(G, dtype=np.float32), gspec))
+            wsum = (fs("out_wsum", (G * n_loc,), np.float32)
+                    if self.weighted
+                    else put(np.zeros(G, dtype=np.float32), gspec))
+            self.push_args = [
+                fs("in_src_global", (G * m_loc,), np.int32),
+                fs("in_dst_local", (G * m_loc,), np.int32),
+                fs("out_deg", (G * n_loc,), np.int32),
+                in_w, wsum, needed,
+            ]
+            if with_walk_side:
+                if not g.with_walk_side:
+                    raise ValueError(
+                        "graph store was saved without the walk-side CSR; "
+                        "re-save with with_walk_side=True for raw-walk mode")
+                mo = g.mo_loc
+                self.walk_args = [
+                    fs("walk_indptr", (G * (n_loc + 1),), np.int32),
+                    fs("walk_indices", (G * mo,), np.int32),
+                    (fs("alias_prob", (G * mo,), np.float32)
+                     if self.weighted
+                     else put(np.zeros(G, dtype=np.float32), gspec)),
+                    (fs("alias_other", (G * mo,), np.int32)
+                     if self.weighted
+                     else put(np.zeros(G, dtype=np.int32), gspec))]
+            else:
+                self.walk_args = []
+            self._place_index(index, put, gspec, n_loc)
+            return
+
         if exchange in ("routed", "ragged"):
             needed = part.needed_masks(pg)                  # [G*G, n_loc]
         elif exchange == "hier":
             needed = part.needed_host_masks(pg, chips_per_host)
         else:
             needed = np.zeros((G, 1), dtype=bool)           # dummy
-        self.weighted = pg.weighted
         in_w = (pg.in_w_sharded if self.weighted
                 else np.zeros(G, dtype=np.float32))         # dummy
         wsum = (pg.out_wsum_sharded if self.weighted
@@ -621,7 +701,12 @@ class _ShardedPlacement:
                     else np.zeros(G, dtype=np.int32), gspec)]
         else:
             self.walk_args = []
+        self._place_index(index, put, gspec, pg.n_loc)
 
+    def _place_index(self, index, put, gspec, n_loc):
+        """Device-place the FORA+ index (monolithic, sharded store, or
+        none) — shared by both the in-RAM and store-backed graph paths."""
+        G, mesh = self.G, self.mesh
         self.use_index = index is not None
         self.index_bucket_offsets = None
         self.index_has_mult = False
@@ -635,10 +720,10 @@ class _ShardedPlacement:
                 raise ValueError(
                     f"sharded index is {index.n_shards}-way, mesh graph "
                     f"axis is {G}; re-save with save_sharded(..., {G})")
-            if index.n_loc != pg.n_loc:
+            if index.n_loc != n_loc:
                 raise ValueError(
                     f"sharded index n_loc={index.n_loc} != partition "
-                    f"n_loc={pg.n_loc} (row_multiple mismatch)")
+                    f"n_loc={n_loc} (row_multiple mismatch)")
             self.index_bucket_offsets = index.bucket_local_offsets
             self.index_has_mult = index.has_mult
             e = index.e_loc_total
@@ -649,14 +734,14 @@ class _ShardedPlacement:
                 _array_from_shards(mesh, index, "edge_dst",
                                    (G * e,), np.int32),
                 _array_from_shards(mesh, index, "counts_cum",
-                                   (G * pg.n_loc, nQ), np.int32),
+                                   (G * n_loc, nQ), np.int32),
                 (_array_from_shards(mesh, index, "edge_mult",
                                     (G * e,), np.float32)
                  if index.has_mult
                  else put(np.zeros(G, dtype=np.float32), gspec)),
             ]
         elif self.use_index:
-            pi = part.partition_index(index, G, pg.n_loc)
+            pi = part.partition_index(index, G, n_loc)
             self.index_bucket_offsets = pi.bucket_local_offsets
             self.index_has_mult = pi.edge_mult is not None
             self.index_args = [put(pi.edge_src_local, gspec),
