@@ -25,6 +25,12 @@ Throughput/robustness model:
     (the executor thread runs query_fn alone), so they are race-free by
     construction; ``stats`` reports QPS plus p50/p95/p99 latency over a
     sliding window.
+  * PRECISION SLO (BASELINE config 5: sustained QPS at fixed
+    precision@k) — ``slo_exact`` maps source -> exact top-k ids; every
+    ``slo_sample_every``-th answered query whose source has ground truth
+    is scored (set-overlap precision@k, microseconds of numpy on the
+    event loop) into a rolling window; ``stats`` reports
+    ``precision_at_k`` (rolling mean), ``slo_samples``, and ``slo_k``.
 """
 
 from __future__ import annotations
@@ -44,9 +50,16 @@ class ForaServer:
                  max_wait_ms: float = 5.0, seed: int = 0,
                  inflight: int = 2, max_pending: Optional[int] = None,
                  admission_timeout_ms: float = 2000.0,
-                 latency_window: int = 2048):
+                 latency_window: int = 2048,
+                 slo_exact: Optional[dict] = None,
+                 slo_sample_every: int = 16,
+                 slo_window: int = 512):
         """query_fn(sources_i32[batch], seed_int) -> (ids [B,k], vals [B,k])
-        — a blocking device call (e.g. wrapping TopkRunner.query)."""
+        — a blocking device call (e.g. wrapping TopkRunner.query).
+
+        ``slo_exact``: {source_id: exact top-k node ids} ground truth for
+        the precision SLO sampler (see module docstring); queries whose
+        source is absent are never scored."""
         self.query_fn = query_fn
         self.batch = batch
         self.k = k
@@ -60,10 +73,32 @@ class ForaServer:
         self.n_batches = 0
         self.n_shed = 0
         self.latencies: deque = deque(maxlen=latency_window)
+        self.slo_exact = (
+            {int(s): np.asarray(ids) for s, ids in slo_exact.items()}
+            if slo_exact else None)
+        self.slo_sample_every = max(1, slo_sample_every)
+        self.slo_scores: deque = deque(maxlen=slo_window)
+        self._slo_seen = 0
         self.t_start = time.time()
         self._server: Optional[asyncio.AbstractServer] = None
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=self.inflight)
+
+    def _slo_score(self, source: int, ids: np.ndarray) -> None:
+        """Sample every Nth scorable answer into the rolling precision
+        window (event-loop only — no locking needed)."""
+        if self.slo_exact is None:
+            return
+        exact = self.slo_exact.get(int(source))
+        if exact is None:
+            return
+        self._slo_seen += 1
+        if self._slo_seen % self.slo_sample_every:
+            return
+        kk = min(self.k, len(exact))
+        hit = len(np.intersect1d(ids[:kk], exact[:kk],
+                                 assume_unique=False))
+        self.slo_scores.append(hit / max(kk, 1))
 
     # --- protocol ---
 
@@ -85,13 +120,19 @@ class ForaServer:
                 pct = (lambda q: round(
                     lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3, 2)
                     if lat else None)
+                scores = list(self.slo_scores)
                 writer.write((json.dumps({
                     "queries": self.n_queries, "batches": self.n_batches,
                     "shed": self.n_shed,
                     "qps": self.n_queries / max(dt, 1e-9),
                     "latency_ms_p50": pct(0.50),
                     "latency_ms_p95": pct(0.95),
-                    "latency_ms_p99": pct(0.99)}) + "\n").encode())
+                    "latency_ms_p99": pct(0.99),
+                    "precision_at_k": (round(float(np.mean(scores)), 4)
+                                       if scores else None),
+                    "slo_samples": len(scores),
+                    "slo_k": self.k if self.slo_exact is not None
+                    else None}) + "\n").encode())
                 await writer.drain()
                 continue
             if "source" not in req:
@@ -112,6 +153,7 @@ class ForaServer:
                 continue
             ids, vals = await fut
             self.latencies.append(time.monotonic() - t_enq)
+            self._slo_score(int(req["source"]), ids)
             k = min(int(req.get("k", self.k)), self.k)
             writer.write((json.dumps({
                 "id": req.get("id"),

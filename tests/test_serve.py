@@ -124,3 +124,49 @@ def test_server_pipelined_batchers():
         assert pipe < seq * 0.85, (seq, pipe)
 
     asyncio.run(main())
+
+
+def test_server_precision_slo_sampling():
+    """Every Nth scorable answer lands in the rolling precision window;
+    stats reports the rolling mean (BASELINE config-5 SLO surface)."""
+    # fake engine answers [s, s+1, s+2]; ground truth for even sources
+    # matches fully, for odd sources 2-of-3
+    exact = {s: np.array([s, s + 1, s + 2]) if s % 2 == 0
+             else np.array([s, s + 1, 99999]) for s in range(10, 18)}
+
+    async def main():
+        srv = ForaServer(_echo_query_fn, batch=2, k=3, max_wait_ms=1,
+                         slo_exact=exact, slo_sample_every=1)
+        port = await srv.start(port=0)
+        await asyncio.gather(
+            *[_roundtrip(port, [{"id": i, "source": 10 + i}])
+              for i in range(8)])
+        # an unscorable source (no ground truth) must not be sampled
+        await _roundtrip(port, [{"id": "x", "source": 500}])
+        stats = (await _roundtrip(port, [{"cmd": "stats"}]))[0]
+        assert stats["slo_samples"] == 8
+        assert stats["slo_k"] == 3
+        # 4 even sources at 1.0 + 4 odd at 2/3
+        assert stats["precision_at_k"] == pytest.approx(
+            (4 * 1.0 + 4 * (2 / 3)) / 8, abs=1e-4)
+        await srv.stop()
+
+    asyncio.run(main())
+
+
+def test_server_precision_slo_sampling_stride():
+    """slo_sample_every=4 scores every 4th scorable answer only."""
+    exact = {s: np.array([s, s + 1, s + 2]) for s in range(10, 26)}
+
+    async def main():
+        srv = ForaServer(_echo_query_fn, batch=2, k=3, max_wait_ms=1,
+                         slo_exact=exact, slo_sample_every=4)
+        port = await srv.start(port=0)
+        for i in range(16):
+            await _roundtrip(port, [{"id": i, "source": 10 + i}])
+        stats = (await _roundtrip(port, [{"cmd": "stats"}]))[0]
+        assert stats["slo_samples"] == 4
+        assert stats["precision_at_k"] == pytest.approx(1.0)
+        await srv.stop()
+
+    asyncio.run(main())
