@@ -137,10 +137,12 @@ def index_counts(out_deg: np.ndarray, rcfg: ResolvedConfig,
 
 def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
                     chunk: int, checkpoint_dir: Optional[str],
-                    fingerprint: dict, progress=None) -> np.ndarray:
+                    fingerprint: dict, progress=None,
+                    run_fallback=None, pipeline_depth: int = 2
+                    ) -> np.ndarray:
     """Shared chunk loop for index builders: drive ``run(starts_chunk,
-    chunk_key) -> endpoints`` over lane-chunks with optional crash-resume
-    checkpoints.
+    chunk_key) -> endpoints | (endpoints, ok)`` over lane-chunks with
+    optional crash-resume checkpoints.
 
     ``checkpoint_dir``: persist each completed lane-chunk's endpoints
     (atomic rename) so an interrupted build resumes where it stopped —
@@ -149,6 +151,16 @@ def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
     guards against resuming with a different graph/config/key/chunking
     (SURVEY.md Sec. 5.4: the index is the engine's persistent artifact;
     at billion-edge scale the build is the long job worth preempting).
+
+    ``run`` may return a second ``ok`` flag (the scheduled walk kernel's
+    width-bound check); a False flag re-runs the chunk via
+    ``run_fallback`` — both decisions are deterministic in (key, chunk),
+    so resume stays bit-identical.
+
+    ``pipeline_depth``: chunks dispatched ahead of the host sync — jax
+    dispatch is async, so chunk i+1 executes on device while chunk i's
+    endpoints transfer/convert and its checkpoint writes (the host-side
+    work that round-3 builds paid serially per chunk).
     """
     import hashlib
     import json
@@ -181,32 +193,62 @@ def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
         else:
             mf.write_text(json.dumps(fp))
 
-    for i in range(n_chunks):
-        lo, hi = i * chunk, min((i + 1) * chunk, total)
-        if ckpt is not None:
-            f = ckpt / f"chunk_{i:06d}.npy"
-            if f.exists():
-                endpoints[lo:hi] = np.load(f)
-                if progress is not None:
-                    progress(i, n_chunks, True)
-                continue
-        pad = chunk - (hi - lo)
-        s = np.pad(starts[lo:hi], (0, pad))
-        out = np.asarray(run(jnp.asarray(s), jax.random.fold_in(key, i)))
-        endpoints[lo:hi] = out[: hi - lo]
+    inflight = []   # [(i, lo, hi, s_dev, out)]
+
+    def drain_one():
+        i, lo, hi, s_dev, out = inflight.pop(0)
+        ok = None
+        if isinstance(out, tuple):
+            out, ok = out
+        if ok is not None and not bool(np.asarray(ok)):
+            if run_fallback is None:
+                raise RuntimeError("scheduled walk width bound exceeded "
+                                   "and no fallback kernel provided")
+            out = run_fallback(s_dev, jax.random.fold_in(key, i))
+            if isinstance(out, tuple):
+                out = out[0]
+        endpoints[lo:hi] = np.asarray(out)[: hi - lo]
         if ckpt is not None:
             tmp = ckpt / f".chunk_{i:06d}.npy.tmp"
-            with open(tmp, "wb") as fh:   # np.save(path) would append .npy
+            with open(tmp, "wb") as fh:  # np.save(path) would append .npy
                 np.save(fh, endpoints[lo:hi])
             tmp.rename(ckpt / f"chunk_{i:06d}.npy")
         if progress is not None:
             progress(i, n_chunks, False)
+
+    try:
+        for i in range(n_chunks):
+            lo, hi = i * chunk, min((i + 1) * chunk, total)
+            if ckpt is not None:
+                f = ckpt / f"chunk_{i:06d}.npy"
+                if f.exists():
+                    endpoints[lo:hi] = np.load(f)
+                    if progress is not None:
+                        progress(i, n_chunks, True)
+                    continue
+            pad = chunk - (hi - lo)
+            s_dev = jnp.asarray(np.pad(starts[lo:hi], (0, pad)))
+            inflight.append((i, lo, hi, s_dev,
+                             run(s_dev, jax.random.fold_in(key, i))))
+            if len(inflight) >= max(1, pipeline_depth):
+                drain_one()
+        while inflight:
+            drain_one()
+    except BaseException:
+        # preemption mid-build: best-effort drain of already-dispatched
+        # chunks so their checkpoints persist (resume skips them)
+        try:
+            while inflight:
+                drain_one()
+        except Exception:
+            pass
+        raise
     return endpoints
 
 
 def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
                      key: jax.Array, *, max_per_node: Optional[int] = None,
-                     chunk: int = 1 << 21,
+                     chunk: int = 1 << 23,
                      checkpoint_dir: Optional[str] = None,
                      progress=None) -> WalkIndex:
     """Run all index walks on device in lane-chunks, then pack the
@@ -224,21 +266,32 @@ def build_walk_index(graph: DeviceGraph, rcfg: ResolvedConfig,
             f"walk index ({total} endpoints) exceeds int32 range; shard the "
             "graph rows first (fora_tpu.parallel) or cap max_per_node")
 
-    # lanes laid out [chunk/128, 128] so hop gathers ride full VPU lanes.
-    # The graph is a jit ARGUMENT (closure constants embed into the HLO and
-    # overflow the remote-compile transport at scale).
+    # length-scheduled walk kernel (walk_ops.run_walks_scheduled): lanes
+    # sorted by pre-sampled length, each hop processes a shrinking static
+    # prefix — ~max_hops*alpha times fewer gather elements than the plain
+    # lockstep walk.  The plain kernel remains the (deterministic,
+    # never-in-practice) fallback for the width-bound check.  The graph is
+    # a jit ARGUMENT (closure constants embed into the HLO and overflow
+    # the remote-compile transport at scale).
     run = jax.jit(
+        lambda gr, s, k: walk_ops.run_walks_scheduled(
+            gr, s, k, alpha=rcfg.alpha, max_hops=rcfg.max_walk_hops))
+    run = functools.partial(run, graph)
+    fb = jax.jit(
         lambda gr, s, k: walk_ops.run_walks(
             gr, s.reshape(-1, 128), k, alpha=rcfg.alpha,
             max_hops=rcfg.max_walk_hops).reshape(-1))
-    run = functools.partial(run, graph)
     from .store import graph_fingerprint
     endpoints = run_walk_chunks(
         run, counts, total, key, chunk=chunk,
         checkpoint_dir=checkpoint_dir, progress=progress,
+        run_fallback=functools.partial(fb, graph),
         # graph content hash: resuming against a rewired same-shape graph
         # must refuse, not silently mix endpoint chunks from two graphs.
+        # kernel id: a checkpoint from the pre-scheduled kernel must not
+        # mix with scheduled chunks (different endpoint streams).
         fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
+                     "kernel": "scheduled-v1",
                      "graph_sha": graph_fingerprint(graph)})
     return pack_index(endpoints, counts, deg, rcfg)
 

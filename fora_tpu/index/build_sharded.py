@@ -84,10 +84,20 @@ def _shard_csr(g: CSRGraph, n_shards: int, row_multiple: int = 8):
 def _sharded_walk_kernel(starts, key, indptr_loc, indices_loc, deg_loc,
                          alias_p, alias_o, *, alpha, max_hops, n_loc,
                          use_alias):
-    """One shard's view of the lockstep walk; mirrors run_walks hop-for-hop
-    and draw-for-draw (bit-identical endpoint stream).  The hop loop is
-    the shared ops/walk.sharded_lockstep_walk (also the raw-walk query
-    path's kernel, parallel/sharded.py)."""
+    """One shard's view of the length-SCHEDULED lockstep walk; mirrors
+    run_walks_scheduled draw-for-draw (bit-identical endpoint stream
+    for equal key/chunk — the builder-equality contract).  Returns
+    (endpoints, ok)."""
+    return walk_ops.sharded_lockstep_walk_scheduled(
+        starts, key, indptr_loc, indices_loc, deg_loc, alias_p, alias_o,
+        alpha=alpha, max_hops=max_hops, n_loc=n_loc, use_alias=use_alias,
+        axis_name=GRAPH_AXIS)
+
+
+def _sharded_walk_kernel_plain(starts, key, indptr_loc, indices_loc,
+                               deg_loc, alias_p, alias_o, *, alpha,
+                               max_hops, n_loc, use_alias):
+    """Plain full-width fallback (width-bound overflow; run_walks twin)."""
     s = starts.reshape(-1, 128)          # run_walks lane layout
     return walk_ops.sharded_lockstep_walk(
         s, key, indptr_loc, indices_loc, deg_loc, alias_p, alias_o,
@@ -131,20 +141,31 @@ def build_walk_index_sharded(g: CSRGraph, mesh: jax.sharding.Mesh,
     kern = functools.partial(_sharded_walk_kernel, alpha=rcfg.alpha,
                              max_hops=rcfg.max_walk_hops, n_loc=n_loc,
                              use_alias=use_alias)
+    kern_plain = functools.partial(_sharded_walk_kernel_plain,
+                                   alpha=rcfg.alpha,
+                                   max_hops=rcfg.max_walk_hops, n_loc=n_loc,
+                                   use_alias=use_alias)
     gs = P(GRAPH_AXIS)
-    mapped = shard_map(kern, mesh,
-                       in_specs=(P(), P(), gs, gs, gs, gs, gs),
-                       out_specs=P())
-    jitted = jax.jit(mapped)
+    specs = (P(), P(), gs, gs, gs, gs, gs)
+    jitted = jax.jit(shard_map(kern, mesh, in_specs=specs,
+                               out_specs=(P(), P())))
+    jitted_plain = jax.jit(shard_map(kern_plain, mesh, in_specs=specs,
+                                     out_specs=P()))
 
     def run(s_chunk, chunk_key):
         return jitted(s_chunk, chunk_key, *args)
 
+    def run_plain(s_chunk, chunk_key):
+        return jitted_plain(s_chunk, chunk_key, *args)
+
     from .store import graph_fingerprint
     endpoints = ib.run_walk_chunks(
         run, counts, total, key, chunk=chunk,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, run_fallback=run_plain,
+        # same manifest (incl. kernel id) as the single-device builder:
+        # checkpoints are interchangeable across builders
         fingerprint={"alpha": rcfg.alpha, "max_hops": rcfg.max_walk_hops,
+                     "kernel": "scheduled-v1",
                      "graph_sha": graph_fingerprint(g)})
     return ib.pack_index(endpoints, counts, deg, rcfg)
 

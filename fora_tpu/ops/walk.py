@@ -135,6 +135,93 @@ def run_walks(graph: DeviceGraph, start: jnp.ndarray, key: jax.Array, *,
     return jax.lax.fori_loop(0, max_hops, hop, start)
 
 
+def hop_widths(n_lanes: int, alpha: float, max_hops: int,
+               slack: float = 1.05, margin: int = 4096) -> list:
+    """Static per-hop processed-prefix widths for the scheduled walk.
+
+    Hop h only concerns lanes with length > h; with i.i.d. geometric
+    lengths their count concentrates at n_lanes * (1-alpha)^h (binomial
+    std <= sqrt(count)), so a 5% + 4096-lane margin covers hundreds of
+    standard deviations at every hop.  Widths are multiples of 128,
+    non-increasing, capped at n_lanes.  The kernel VERIFIES the bound per
+    chunk and callers fall back to the plain lockstep walk on the
+    (astronomically unlikely) overflow."""
+    widths = []
+    w_prev = n_lanes
+    for h in range(max_hops):
+        s = n_lanes * (1.0 - alpha) ** h * slack + margin
+        w = min(n_lanes, -(-int(s) // 128) * 128, w_prev)
+        widths.append(w)
+        w_prev = w
+    return widths
+
+
+def run_walks_scheduled(graph: DeviceGraph, start: jnp.ndarray,
+                        key: jax.Array, *, alpha: float, max_hops: int = 64,
+                        alias_prob: Optional[jnp.ndarray] = None,
+                        alias_other: Optional[jnp.ndarray] = None,
+                        slack: float = 1.05, margin: int = 4096):
+    """``run_walks`` with length-scheduled lane compaction — the index
+    builder's hot kernel (SURVEY.md Sec. 3.3 HOT).
+
+    The lockstep walk pays max_hops gathers per lane although the mean
+    alpha-terminated length is 1/alpha (5 hops): ~92% of all hop-gather
+    elements are dead-lane padding.  Since lengths are PRE-SAMPLED
+    (one geometric draw per lane) and the per-hop uniforms are drawn by
+    lane position — independent of the lengths — lanes can be sorted by
+    length descending before stepping: the lanes alive at hop h then form
+    a prefix, and hop h runs on the static prefix ``hop_widths()[h]``
+    (~(1-alpha)^h of the lanes).  Total gather elements drop from
+    W * max_hops to ~W / alpha (measured ~10x on v5e at build scale).
+    Each lane's uniform sequence is still i.i.d. (positions are fixed
+    before any stepping), so endpoints are distribution-identical to
+    ``run_walks`` — not bit-identical: the builder records which kernel
+    built an index via its own chunk keying, and single-device and
+    sharded builds remain bit-identical to EACH OTHER (both use the
+    same schedule; index/build_sharded.py).
+
+    start: [W] flat start nodes.  Returns (endpoints [W] i32, ok bool) —
+    ``ok`` False means some hop's live-lane count exceeded its scheduled
+    width (re-run the chunk with ``run_walks``)."""
+    if alias_prob is None and graph.alias_prob is not None:
+        alias_prob, alias_other = graph.alias_prob, graph.alias_other
+    W = start.shape[0]
+    widths = hop_widths(W, alpha, max_hops, slack=slack, margin=margin)
+    length = geometric_lengths(jax.random.fold_in(key, 0), (W,), alpha,
+                               max_hops)
+    order = jnp.argsort(-length)                     # stable, descending
+    cur = start[order]
+    slen = length[order]
+    # live-lane count at hop h = #(length > h); verify against the schedule
+    hist = jnp.bincount(length, length=max_hops + 1)
+    live = W - jnp.cumsum(hist)                      # [max_hops+1]; live[h] = #(len > h)
+    ok = jnp.all(live[: max_hops] <= jnp.asarray(widths))
+    deg = graph.out_deg
+
+    for h in range(max_hops):
+        S = widths[h]
+        pre = jax.lax.dynamic_slice_in_dim(cur, 0, S)
+        u = jax.random.uniform(jax.random.fold_in(key, h + 1), (S,))
+        d = deg[pre]
+        alive = jnp.logical_and(h < jax.lax.dynamic_slice_in_dim(slen, 0, S),
+                                d > 0)               # dangling absorbs
+        j = jnp.minimum((u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0))
+        slot = graph.out_indptr[pre] + j
+        nxt = graph.out_indices[slot]
+        if alias_prob is not None:
+            # h is a Python int here (unrolled loop): wrap the negative
+            # fold-in data as int32 (a bare negative literal overflows
+            # fold_in's uint32 coercion; the fori-loop kernels trace it)
+            u2 = jax.random.uniform(
+                jax.random.fold_in(key, jnp.int32(-(h + 1))), (S,))
+            nxt = jnp.where(u2 < alias_prob[slot], nxt, alias_other[slot])
+        cur = jax.lax.dynamic_update_slice_in_dim(
+            cur, jnp.where(alive, nxt, pre), 0, axis=0)
+    endpoints = jnp.zeros((W,), start.dtype).at[order].set(cur)
+    return endpoints, ok
+
+
 def sharded_lockstep_walk(cur: jnp.ndarray, key: jax.Array,
                           indptr_loc: jnp.ndarray, indices_loc: jnp.ndarray,
                           deg_loc: jnp.ndarray, alias_p, alias_o, *,
@@ -177,6 +264,60 @@ def sharded_lockstep_walk(cur: jnp.ndarray, key: jax.Array,
         return jax.lax.psum(upd, axis_name)           # one owner per lane
 
     return jax.lax.fori_loop(0, max_hops, hop, cur)
+
+
+def sharded_lockstep_walk_scheduled(start: jnp.ndarray, key: jax.Array,
+                                    indptr_loc: jnp.ndarray,
+                                    indices_loc: jnp.ndarray,
+                                    deg_loc: jnp.ndarray, alias_p, alias_o,
+                                    *, alpha: float, max_hops: int,
+                                    n_loc: int, use_alias: bool,
+                                    axis_name: str,
+                                    slack: float = 1.05,
+                                    margin: int = 4096):
+    """``run_walks_scheduled``'s row-sharded twin (one psum per hop, CSR
+    sharded as in ``sharded_lockstep_walk``).  Lengths, sort order, and
+    uniforms are generated identically on every shard from the replicated
+    key, and identically to the single-device scheduled kernel — so for
+    equal (key, chunk) the endpoint stream is BIT-IDENTICAL to
+    ``run_walks_scheduled`` (the sharded-builder equality contract,
+    index/build_sharded.py).  Returns (endpoints [W], ok)."""
+    W = start.shape[0]
+    widths = hop_widths(W, alpha, max_hops, slack=slack, margin=margin)
+    length = geometric_lengths(jax.random.fold_in(key, 0), (W,), alpha,
+                               max_hops)
+    order = jnp.argsort(-length)
+    cur = start[order]
+    slen = length[order]
+    hist = jnp.bincount(length, length=max_hops + 1)
+    live = W - jnp.cumsum(hist)
+    ok = jnp.all(live[: max_hops] <= jnp.asarray(widths))
+    g_id = jax.lax.axis_index(axis_name)
+    row0 = g_id * n_loc
+
+    for h in range(max_hops):
+        S = widths[h]
+        pre = jax.lax.dynamic_slice_in_dim(cur, 0, S)
+        u = jax.random.uniform(jax.random.fold_in(key, h + 1), (S,))
+        local = pre - row0
+        own = jnp.logical_and(local >= 0, local < n_loc)
+        li = jnp.clip(local, 0, n_loc - 1)
+        d = deg_loc[li]                               # valid on owner only
+        alive = jnp.logical_and(
+            h < jax.lax.dynamic_slice_in_dim(slen, 0, S), d > 0)
+        j = jnp.minimum((u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0))
+        slot = indptr_loc[li] + j
+        nxt = indices_loc[slot]
+        if use_alias:
+            u2 = jax.random.uniform(
+                jax.random.fold_in(key, jnp.int32(-(h + 1))), (S,))
+            nxt = jnp.where(u2 < alias_p[slot], nxt, alias_o[slot])
+        upd = jnp.where(own, jnp.where(alive, nxt, pre), 0)
+        cur = jax.lax.dynamic_update_slice_in_dim(
+            cur, jax.lax.psum(upd, axis_name), 0, axis=0)
+    endpoints = jnp.zeros((W,), start.dtype).at[order].set(cur)
+    return endpoints, ok
 
 
 def accumulate_endpoints(endpoints: jnp.ndarray, weight: jnp.ndarray,

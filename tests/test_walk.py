@@ -110,3 +110,47 @@ def test_walk_lane_budget_static():
     assert w % 1024 == 0 and w <= 1 << 20
     # rsum bound = 0.1 -> ~110k lanes + n
     assert 100_000 <= w <= 120_000 + 2048
+
+
+def test_scheduled_walk_matches_distribution():
+    """run_walks_scheduled endpoints follow the same distribution as the
+    plain lockstep walk: endpoint frequencies from a single hub source
+    match exact PPR (both kernels, same tolerance)."""
+    from fora_tpu.algo import exact
+    from fora_tpu.graph import generators, to_device
+
+    g = generators.erdos_renyi(60, 600, seed=9)
+    dg = to_device(g)
+    W = 1 << 15
+    src = 7
+    start = jnp.full((W,), src, jnp.int32)
+    ep, ok = walk_ops.run_walks_scheduled(dg, start, jax.random.key(4),
+                                      alpha=0.2, max_hops=64)
+    assert bool(ok)
+    freq = np.bincount(np.asarray(ep), minlength=g.n) / W
+    pi = exact.exact_ppr(g, src)
+    # PPR = alpha-walk endpoint distribution; MC error ~ 1/sqrt(W)
+    assert np.abs(freq - pi).max() < 6.0 / np.sqrt(W)
+
+
+def test_scheduled_walk_overflow_flag():
+    """A schedule too tight for the sampled lengths reports ok=False (the
+    builder then falls back to the plain kernel)."""
+    from fora_tpu.graph import generators, to_device
+
+    g = generators.erdos_renyi(60, 600, seed=9)
+    dg = to_device(g)
+    start = jnp.zeros((1024,), jnp.int32)
+    ep, ok = walk_ops.run_walks_scheduled(dg, start, jax.random.key(4),
+                                      alpha=0.2, max_hops=16,
+                                      slack=1e-6, margin=0)
+    assert not bool(ok)
+
+
+def test_hop_widths_schedule():
+    ws = walk_ops.hop_widths(1 << 20, 0.2, 64)
+    assert ws[0] == 1 << 20
+    assert all(a >= b for a, b in zip(ws, ws[1:]))   # non-increasing
+    assert all(w % 128 == 0 for w in ws)
+    # total scheduled work ~ W/alpha, far below W*max_hops
+    assert sum(ws) < (1 << 20) * 8
