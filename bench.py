@@ -41,6 +41,10 @@ edges).  Scale via env:
                      ~1 straggler through a full-width level-4/5 pass
   FORA_BENCH_CHUNK   log2 edges per gather chunk (peak mem is the
                      [chunk, B] intermediate; default 21)
+  FORA_BENCH_HUB     hub-split rows: in-edges from the top-H out-degree
+                     sources gather from a compact [H, B] operand
+                     (default 65536; 0 disables) — measured 14% faster
+                     superstep at judged scale (hub_split_probe.py)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -113,6 +117,7 @@ USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
 DEFER = env_int("FORA_BENCH_DEFER", 64)
 CHUNK = 1 << env_int("FORA_BENCH_CHUNK", 21)
+HUB = env_int("FORA_BENCH_HUB", 65536)
 SEED = 7
 
 TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
@@ -228,7 +233,7 @@ def main():
     rcfg = cfg.resolved(g.n, g.m)
     # RMAT emits ~5% parallel edges; merge them (losslessly, multiplicity
     # weights) so every push superstep gathers ~5% fewer rows
-    dg = to_device(g, merge_duplicate_edges=True)
+    dg = to_device(g, merge_duplicate_edges=True, hub_rows=HUB)
 
     index = None
     if USE_INDEX:
@@ -359,7 +364,7 @@ def main():
     # in-edge at batch BATCH) vs the bytes-moved model and datasheet HBM BW
     from fora_tpu.ops import push as push_ops
     from fora_tpu.utils import profiling
-    m_eff = int(dg.in_src.shape[0])
+    m_eff = int(dg.m_in)
 
     # init inside the jit and return only r: one [n, B] output, no
     # un-donated state pair alongside the resident runner/index (OOM at

@@ -216,7 +216,7 @@ class StagedForaPrograms:
         # (measured: any single program > ~60 s kills this image's worker).
         # Segment length is sized from the ~35 GB/s effective gather rate
         # so each program stays ~push_segment_secs.
-        self._m_eff = int(graph.in_src.shape[0])
+        self._m_eff = int(graph.m_in)
         self._push_segment_secs = push_segment_secs
         self._push = jax.jit(functools.partial(
             push_ops.forward_push_from, alpha=rcfg.alpha,

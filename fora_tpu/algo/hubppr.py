@@ -94,10 +94,15 @@ def build_hub_index(graph: DeviceGraph, key: jax.Array, *, alpha: float,
     if in_deg is None:
         # on a merged DeviceGraph (in_w set) in_dst holds UNIQUE pairs;
         # weight the count by the multiplicity so hub selection sees the
-        # true multigraph in-degree
+        # true multigraph in-degree (hub-split graphs: tail + hub parts)
         w = (np.asarray(graph.in_w) if graph.in_w is not None else None)
         in_deg = np.bincount(np.asarray(graph.in_dst), weights=w,
                              minlength=graph.n).astype(np.int64)
+        if graph.hub_split:
+            hw = (np.asarray(graph.hub_w) if graph.hub_w is not None
+                  else None)
+            in_deg += np.bincount(np.asarray(graph.hub_dst), weights=hw,
+                                  minlength=graph.n).astype(np.int64)
     hubs = select_hubs(out_deg, np.asarray(in_deg), num_hubs)
     H = len(hubs)
     hub_id = np.full(graph.n, -1, np.int32)

@@ -84,8 +84,8 @@ class DeviceGraph(NamedTuple):
 
     out_indptr: "jnp.ndarray"   # [n+1] i32
     out_indices: "jnp.ndarray"  # [m] i32
-    in_src: "jnp.ndarray"       # [m or m_u] i32
-    in_dst: "jnp.ndarray"       # [m or m_u] i32
+    in_src: "jnp.ndarray"       # [m or m_u or m_tail] i32
+    in_dst: "jnp.ndarray"       # [m or m_u or m_tail] i32
     out_deg: "jnp.ndarray"      # [n] i32
     in_w: "jnp.ndarray" = None      # [m_u] f32 multiplier, or None
     out_wsum: "jnp.ndarray" = None  # [n] f32 total out-weight, or None
@@ -94,6 +94,17 @@ class DeviceGraph(NamedTuple):
     out_w: "jnp.ndarray" = None     # [m] f32 weights, out-CSR order
     #                                 (backward push needs w(u,v)/W(u) in
     #                                 src-sorted order), or None
+    # hub-split in-edges (to_device(hub_rows=H); see _superstep): edges
+    # whose SOURCE is a top-H out-degree node live here, gathered from a
+    # compact [H, B] operand — measured 14% faster superstep at
+    # LiveJournal scale (the skew-hammered full-table gather runs at
+    # 51 M elem/s vs the 62 M elem/s small-operand/uniform ceiling;
+    # scripts/hub_split_probe.py).  When set, in_src/in_dst/in_w hold
+    # only the TAIL edges.
+    hub_ids: "jnp.ndarray" = None        # [H] i32 hub node ids
+    hub_src_local: "jnp.ndarray" = None  # [m_hub] i32 position in hub_ids
+    hub_dst: "jnp.ndarray" = None        # [m_hub] i32, dst-sorted
+    hub_w: "jnp.ndarray" = None          # [m_hub] f32 multiplier, or None
 
     @property
     def n(self) -> int:
@@ -106,6 +117,19 @@ class DeviceGraph(NamedTuple):
     @property
     def weighted(self) -> bool:
         return self.out_wsum is not None
+
+    @property
+    def hub_split(self) -> bool:
+        return self.hub_ids is not None
+
+    @property
+    def m_in(self) -> int:
+        """In-edges across both the tail and hub partitions (equals the
+        merged-unique edge count; use instead of in_src.shape[0])."""
+        m = self.in_src.shape[0]
+        if self.hub_src_local is not None:
+            m += self.hub_src_local.shape[0]
+        return m
 
 
 def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
@@ -162,7 +186,8 @@ def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
     )
 
 
-def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
+def to_device(g: CSRGraph, merge_duplicate_edges: bool = False,
+              hub_rows: int = 0) -> DeviceGraph:
     """Copy to device.  ``merge_duplicate_edges`` collapses parallel in-edges
     into unique (src, dst) pairs with an ``in_w`` multiplier column (see
     DeviceGraph) — only worthwhile for multigraphs (e.g. raw RMAT output);
@@ -172,6 +197,12 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
     multipliers in_w = w (parallel edges merged by SUMMING weights —
     exactly the weight of the combined edge), per-node out-weight totals
     ``out_wsum``, and Walker alias tables for O(1) weighted hop sampling.
+
+    ``hub_rows`` > 0 splits the in-edges by source out-degree: edges from
+    the top-``hub_rows`` sources move to the hub partition (gathered from
+    a compact [H, B] operand in the push superstep — see DeviceGraph hub
+    fields).  Exactness is unchanged (same edges, same weights, two
+    dst-sorted segment sums instead of one).
     """
     in_src, in_dst = g.in_src, g.in_dst
     in_w = None if g.in_w is None else g.in_w.astype(np.float32)
@@ -203,6 +234,23 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
             else:
                 counts = np.diff(np.append(starts, ks.size))
                 in_w = counts.astype(np.float32)
+    hub_ids = hub_sl = hub_dst = hub_w = None
+    if hub_rows > 0 and g.n > hub_rows and len(in_src):
+        deg = np.asarray(g.out_deg, np.int64)
+        hub_ids = np.sort(np.argsort(-deg, kind="stable")[:hub_rows]
+                          ).astype(np.int32)
+        hub_slot = np.full(g.n, -1, np.int32)
+        hub_slot[hub_ids] = np.arange(hub_rows, dtype=np.int32)
+        is_hub = hub_slot[in_src] >= 0
+        # stable partition keeps each subset dst-sorted (sorted
+        # segment_sum contract)
+        hub_sl = hub_slot[in_src[is_hub]]
+        hub_dst = in_dst[is_hub]
+        if in_w is not None:
+            hub_w = in_w[is_hub]
+            in_w = in_w[~is_hub]
+        in_src = in_src[~is_hub]
+        in_dst = in_dst[~is_hub]
     return DeviceGraph(
         out_indptr=jnp.asarray(g.out_indptr),
         out_indices=jnp.asarray(g.out_indices),
@@ -215,6 +263,10 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False) -> DeviceGraph:
         alias_other=None if alias is None else jnp.asarray(alias.other),
         out_w=None if not g.weighted else jnp.asarray(
             g.out_w.astype(np.float32)),
+        hub_ids=None if hub_ids is None else jnp.asarray(hub_ids),
+        hub_src_local=None if hub_sl is None else jnp.asarray(hub_sl),
+        hub_dst=None if hub_dst is None else jnp.asarray(hub_dst),
+        hub_w=None if hub_w is None else jnp.asarray(hub_w),
     )
 
 

@@ -36,10 +36,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def micro(args):
     import jax
     import jax.numpy as jnp
+    from fora_tpu.ops.push import gather_segment_sum
     from fora_tpu.utils import profiling
 
     E = args.edges
     B = args.batch
+    chunk = 1 << args.chunk_log2
     key = jax.random.key(0)
     rows = []
     for rlog in range(14, 23):
@@ -51,14 +53,12 @@ def micro(args):
         dst = jnp.sort(jax.random.randint(jax.random.fold_in(key, 99 + rlog),
                                           (E,), 0, args.segments, jnp.int32))
 
-        def run(op=operand, ix=idx, d=dst):
-            vals = op[ix]
-            return jax.ops.segment_sum(vals, d,
-                                       num_segments=args.segments,
-                                       indices_are_sorted=True)
-
-        fn = jax.jit(run)
-        secs = profiling.measure(fn, reps=3, warmup=1)
+        # chunked exactly like the real superstep (the [chunk, B]
+        # intermediate is the memory cap)
+        fn = jax.jit(lambda op, ix, d: gather_segment_sum(
+            op, ix, d, args.segments, max_chunk=chunk))
+        secs = profiling.measure(lambda: fn(operand, idx, dst),
+                                 reps=3, warmup=1)
         rate = E / secs / 1e6
         rows.append({"operand_rows": R, "operand_mb": R * B * 4 / 1e6,
                      "secs": round(secs, 4),

@@ -182,3 +182,45 @@ def test_merged_duplicate_edges_match_multigraph():
                               alpha=0.2)
     np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.r), np.asarray(b.r), atol=1e-6)
+
+
+def test_hub_split_matches_dense():
+    """to_device(hub_rows=H) partitions in-edges exactly: push results are
+    bit-identical to the dense single-gather superstep (same edges, same
+    weights, two dst-sorted segment sums)."""
+    import jax.numpy as jnp
+    from fora_tpu.graph import generators, to_device
+
+    g = generators.rmat(10, 1024 * 8, seed=3)    # parallel edges included
+    for merge in (False, True):
+        dg0 = to_device(g, merge_duplicate_edges=merge)
+        dgh = to_device(g, merge_duplicate_edges=merge, hub_rows=64)
+        assert dgh.hub_split and not dg0.hub_split
+        assert dgh.m_in == dg0.m_in
+        src = jnp.asarray([3, 99, 500, 1000], jnp.int32)
+        st0 = push_ops.forward_push(dg0, src, rmax=1e-4, alpha=0.2)
+        sth = push_ops.forward_push(dgh, src, rmax=1e-4, alpha=0.2)
+        np.testing.assert_allclose(np.asarray(sth.p), np.asarray(st0.p),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sth.r), np.asarray(st0.r),
+                                   rtol=1e-6, atol=1e-9)
+        assert int(sth.iters) == int(st0.iters)
+
+
+def test_hub_split_weighted_matches_dense():
+    from fora_tpu.graph import generators, to_device
+    from fora_tpu.graph.csr import from_edges
+    import jax.numpy as jnp
+
+    g = generators.erdos_renyi(400, 4000, seed=11)
+    rng = np.random.default_rng(2)
+    src = np.repeat(np.arange(g.n), np.asarray(g.out_deg, np.int64))
+    w = rng.uniform(0.5, 2.0, size=g.m).astype(np.float32)
+    gw = from_edges(src, np.asarray(g.out_indices), g.n, w=w)
+    dg0 = to_device(gw)
+    dgh = to_device(gw, hub_rows=32)
+    s = jnp.asarray([7, 42], jnp.int32)
+    st0 = push_ops.forward_push(dg0, s, rmax=1e-4, alpha=0.2)
+    sth = push_ops.forward_push(dgh, s, rmax=1e-4, alpha=0.2)
+    np.testing.assert_allclose(np.asarray(sth.p), np.asarray(st0.p),
+                               rtol=1e-6, atol=1e-9)
