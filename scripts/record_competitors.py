@@ -42,6 +42,15 @@ def main():
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--walk-batch", type=int, default=8)
     ap.add_argument("--max-walks", type=int, default=1 << 22)
+    ap.add_argument("--only", default=None,
+                    help="comma list of algos to run (merges rows into an "
+                         "existing --out artifact)")
+    ap.add_argument("--hub-walk-batch", type=int, default=4,
+                    help="hubppr device batch: its per-hop hub-pool "
+                         "gathers make a walk program ~2x MC's, and any "
+                         "single program >60s trips the relay watchdog "
+                         "(measured crash at batch 8 / 2^22 walks)")
+    ap.add_argument("--hub-max-walks", type=int, default=1 << 21)
     args = ap.parse_args()
 
     import bench
@@ -103,14 +112,22 @@ def main():
         print(f"[comp] {name}: {row['qps']} q/s, precision {prec:.4f}",
               file=sys.stderr, flush=True)
 
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
     # --- montecarlo ---
-    from fora_tpu.algo import montecarlo as mc_algo
     num_walks = min(int(rcfg.omega_unit) + 1, args.max_walks)
-    mc_fn = mc_algo.make_montecarlo_fn(dg, rcfg, max_walks=args.max_walks)
-    eval_topk("montecarlo", mc_fn, args.walk_batch,
-              extra={"walks_per_query": num_walks,
-                     "walks_capped": num_walks < int(rcfg.omega_unit) + 1,
-                     "guarantee_omega": int(rcfg.omega_unit) + 1})
+    if want("montecarlo"):
+        from fora_tpu.algo import montecarlo as mc_algo
+        mc_fn = mc_algo.make_montecarlo_fn(dg, rcfg,
+                                           max_walks=args.max_walks)
+        eval_topk("montecarlo", mc_fn, args.walk_batch,
+                  extra={"walks_per_query": num_walks,
+                         "walks_capped":
+                             num_walks < int(rcfg.omega_unit) + 1,
+                         "guarantee_omega": int(rcfg.omega_unit) + 1})
 
     # --- fwdpush (segmented supersteps; push-only at rmax/omega) ---
     rmax_pp = rcfg.rmax / max(rcfg.omega_unit, 1.0)
@@ -132,20 +149,23 @@ def main():
                 break
         return st.p
 
-    eval_topk("fwdpush", fwdpush_run, 32,
-              extra={"rmax": rmax_pp, "max_supersteps": max_total})
+    if want("fwdpush"):
+        eval_topk("fwdpush", fwdpush_run, 32,
+                  extra={"rmax": rmax_pp, "max_supersteps": max_total})
 
     # --- hubppr ---
-    from fora_tpu.algo import hubppr as hub_algo
-    t0 = time.time()
-    hub_fn = hub_algo.make_hubppr_fn(dg, rcfg, jax.random.key(5),
-                                     num_hubs=4096,
-                                     max_walks=args.max_walks)
-    hub_build = time.time() - t0
-    eval_topk("hubppr", hub_fn, args.walk_batch,
-              extra={"num_hubs": 4096,
-                     "hub_index_build_secs": round(hub_build, 1),
-                     "walks_per_query": num_walks})
+    if want("hubppr"):
+        from fora_tpu.algo import hubppr as hub_algo
+        hub_walks = min(int(rcfg.omega_unit) + 1, args.hub_max_walks)
+        t0 = time.time()
+        hub_fn = hub_algo.make_hubppr_fn(dg, rcfg, jax.random.key(5),
+                                         num_hubs=4096,
+                                         max_walks=args.hub_max_walks)
+        hub_build = time.time() - t0
+        eval_topk("hubppr", hub_fn, args.hub_walk_batch,
+                  extra={"num_hubs": 4096,
+                         "hub_index_build_secs": round(hub_build, 1),
+                         "walks_per_query": hub_walks})
 
     # --- bippr (pairwise protocol) ---
     from fora_tpu.algo import bippr as bippr_algo
@@ -153,37 +173,49 @@ def main():
     # to clear the top-k threshold, BiPPR's intended regime
     pair_rank = [0, 9, 24]
     targets = np.unique(exact_ids[:, pair_rank].reshape(-1))
+    if not want("bippr"):
+        targets = targets[:0]
     tgt = jnp.asarray(targets, jnp.int32)
     t0 = time.time()
-    bfn = bippr_algo.make_bippr_fn(dg, rcfg, tgt)
-    est = np.asarray(bfn(jnp.asarray(sources, jnp.int32),
-                         jax.random.key(23)))          # [S, T] warm+fence
-    t0 = time.time()
-    est = np.asarray(bfn(jnp.asarray(sources, jnp.int32),
-                         jax.random.fold_in(jax.random.key(23), 1)))
-    bippr_secs = time.time() - t0
-    tpos = {int(t): i for i, t in enumerate(targets)}
-    rels = []
-    print("[comp] bippr exact pair values ...", file=sys.stderr, flush=True)
-    X = exact.exact_ppr_power_batch(g, sources[:8], tol=1e-10)
-    for si in range(8):
-        for r in pair_rank:
-            t = int(exact_ids[si, r])
-            true = X[t, si]
-            if true > 0:
-                rels.append(abs(est[si, tpos[t]] - true) / true)
-    row = {"algo": "bippr", "protocol": "pairwise",
-           "sources": args.queries, "targets": len(targets),
-           "pairs_per_sec": round(args.queries * len(targets) / bippr_secs, 1),
-           "secs": round(bippr_secs, 1),
-           "mean_rel_err_checked_pairs": round(float(np.mean(rels)), 4),
-           "checked_pairs": len(rels),
-           "rmax_b": float(bfn.rmax_b), "walks": int(bfn.num_walks)}
-    rows.append(row)
-    print(f"[comp] bippr: {row['pairs_per_sec']} pairs/s, rel err "
-          f"{row['mean_rel_err_checked_pairs']}", file=sys.stderr,
-          flush=True)
+    bfn = bippr_algo.make_bippr_fn(dg, rcfg, tgt) if want("bippr") else None
+    if want("bippr"):
+        est = np.asarray(bfn(jnp.asarray(sources, jnp.int32),
+                             jax.random.key(23)))      # [S, T] warm+fence
+        t0 = time.time()
+        est = np.asarray(bfn(jnp.asarray(sources, jnp.int32),
+                             jax.random.fold_in(jax.random.key(23), 1)))
+        bippr_secs = time.time() - t0
+        tpos = {int(t): i for i, t in enumerate(targets)}
+        rels = []
+        print("[comp] bippr exact pair values ...", file=sys.stderr,
+              flush=True)
+        X = exact.exact_ppr_power_batch(g, sources[:8], tol=1e-10)
+        for si in range(8):
+            for r in pair_rank:
+                t = int(exact_ids[si, r])
+                true = X[t, si]
+                if true > 0:
+                    rels.append(abs(est[si, tpos[t]] - true) / true)
+        row = {"algo": "bippr", "protocol": "pairwise",
+               "sources": args.queries, "targets": len(targets),
+               "pairs_per_sec": round(
+                   args.queries * len(targets) / bippr_secs, 1),
+               "secs": round(bippr_secs, 1),
+               "mean_rel_err_checked_pairs": round(float(np.mean(rels)), 4),
+               "checked_pairs": len(rels),
+               "rmax_b": float(bfn.rmax_b), "walks": int(bfn.num_walks)}
+        rows.append(row)
+        print(f"[comp] bippr: {row['pairs_per_sec']} pairs/s, rel err "
+              f"{row['mean_rel_err_checked_pairs']}", file=sys.stderr,
+              flush=True)
 
+    # merge with an existing artifact when running a subset (--only)
+    outp = ROOT / args.out
+    if only is not None and outp.exists():
+        old = json.loads(outp.read_text())
+        have = {r["algo"] for r in rows}
+        rows = [r for r in old.get("rows", [])
+                if r["algo"] not in have] + rows
     rec = {"graph": TAG, "n": g.n, "m": g.m, "epsilon": args.eps,
            "k": args.k, "eval_queries": args.queries,
            "note": "same graph/queries/oracle as the FORA bench rows "
