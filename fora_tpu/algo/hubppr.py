@@ -107,11 +107,30 @@ def build_hub_index(graph: DeviceGraph, key: jax.Array, *, alpha: float,
     H = len(hubs)
     hub_id = np.full(graph.n, -1, np.int32)
     hub_id[hubs] = np.arange(H, dtype=np.int32)
-    start = jnp.broadcast_to(jnp.asarray(hubs)[None, :], (pool_size, H))
-    ends = walk_ops.run_walks(graph, start, key, alpha=alpha,
-                              max_hops=max_hops)           # [P, H]
+    # chunk the pool build over hubs with the length-scheduled kernel:
+    # at production sizes (H=4096, P=2^15) one monolithic run_walks
+    # program is 134M lanes x 64 hops — minutes of execution, past the
+    # ~60 s single-program watchdog of tunneled TPU runtimes (measured
+    # worker crash).  Scheduled chunks of <= 2^22 lanes stay seconds.
+    hub_chunk = max(1, (1 << 22) // max(pool_size, 1))
+    ends = np.empty((pool_size, H), np.int32)
+    run = jax.jit(functools.partial(walk_ops.run_walks_scheduled,
+                                    alpha=alpha, max_hops=max_hops))
+    fallback = jax.jit(functools.partial(walk_ops.run_walks, alpha=alpha,
+                                         max_hops=max_hops))
+    hubs_dev = jnp.asarray(hubs)
+    for ci, lo in enumerate(range(0, H, hub_chunk)):
+        hs = hubs_dev[lo: lo + hub_chunk]
+        c = hs.shape[0]
+        start = jnp.broadcast_to(hs[None, :], (pool_size, c)).reshape(-1)
+        ck = jax.random.fold_in(key, ci)
+        ep, ok = run(graph, start, ck)
+        if not bool(np.asarray(ok)):   # width-bound overflow: plain kernel
+            ep = fallback(graph, start.reshape(pool_size, c),
+                          ck).reshape(-1)
+        ends[:, lo: lo + c] = np.asarray(ep).reshape(pool_size, c)
     return HubIndex(hub_nodes=jnp.asarray(hubs), hub_id=jnp.asarray(hub_id),
-                    pool=jnp.asarray(ends).T)              # [H, P]
+                    pool=jnp.asarray(ends.T))              # [H, P]
 
 
 def default_pool_size(rcfg: ResolvedConfig, num_walks: int,
