@@ -72,6 +72,7 @@ class ForaServer:
         self.n_queries = 0
         self.n_batches = 0
         self.n_shed = 0
+        self.n_errors = 0
         self.latencies: deque = deque(maxlen=latency_window)
         self.slo_exact = (
             {int(s): np.asarray(ids) for s, ids in slo_exact.items()}
@@ -123,7 +124,7 @@ class ForaServer:
                 scores = list(self.slo_scores)
                 writer.write((json.dumps({
                     "queries": self.n_queries, "batches": self.n_batches,
-                    "shed": self.n_shed,
+                    "shed": self.n_shed, "errors": self.n_errors,
                     "qps": self.n_queries / max(dt, 1e-9),
                     "latency_ms_p50": pct(0.50),
                     "latency_ms_p95": pct(0.95),
@@ -151,7 +152,12 @@ class ForaServer:
                 writer.write(b'{"error": "overloaded"}\n')
                 await writer.drain()
                 continue
-            ids, vals = await fut
+            try:
+                ids, vals = await fut
+            except Exception:
+                writer.write(b'{"error": "internal"}\n')
+                await writer.drain()
+                continue
             self.latencies.append(time.monotonic() - t_enq)
             self._slo_score(int(req["source"]), ids)
             k = min(int(req.get("k", self.k)), self.k)
@@ -181,8 +187,23 @@ class ForaServer:
             padded = np.concatenate([sources, np.repeat(sources[-1:], pad)])
             self.seed += 1
             loop = asyncio.get_running_loop()
-            ids, vals = await loop.run_in_executor(
-                self._pool, self.query_fn, padded, self.seed)
+            try:
+                ids, vals = await loop.run_in_executor(
+                    self._pool, self.query_fn, padded, self.seed)
+            except Exception as e:
+                # a failed device call must fail THIS batch loudly, not
+                # kill the batcher task silently (which would orphan every
+                # later request's future and wedge all clients)
+                import sys as _sys
+                import traceback as _tb
+                self.n_errors += 1
+                print(f"[fora-tpu serve] batch failed: {e!r}",
+                      file=_sys.stderr, flush=True)
+                _tb.print_exc(file=_sys.stderr)
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(f"batch failed: {e}"))
+                continue
             ids, vals = np.asarray(ids), np.asarray(vals)
             self.n_queries += len(batch)
             self.n_batches += 1

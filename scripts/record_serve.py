@@ -57,6 +57,9 @@ async def client(port, sources, rng_seed, stop_at, tally, exact100):
         elif resp.get("error") == "overloaded":
             tally["shed"] += 1
             await asyncio.sleep(0.5)
+        elif "error" in resp:
+            tally["errors"] += 1
+            await asyncio.sleep(0.5)
     writer.close()
 
 
@@ -139,12 +142,24 @@ def main():
         print(f"[serve] serving on :{port}; driving {args.clients} "
               f"closed-loop clients for {args.duration:.0f}s",
               file=sys.stderr, flush=True)
-        tally = {"done": [], "p50": [], "p100": [], "shed": 0}
+        tally = {"done": [], "p50": [], "p100": [], "shed": 0,
+                 "errors": 0}
         stop_at = time.monotonic() + args.duration
         t_open = time.monotonic()
+
+        async def reporter():
+            while time.monotonic() < stop_at:
+                await asyncio.sleep(60)
+                print(f"[serve] t+{time.monotonic()-t_open:.0f}s: "
+                      f"{len(tally['done'])} answered, "
+                      f"{tally['shed']} shed, {tally['errors']} errors",
+                      file=sys.stderr, flush=True)
+
+        rep = asyncio.create_task(reporter())
         await asyncio.gather(*[
             client(port, sources, 1000 + c, stop_at, tally, exact_map)
             for c in range(args.clients)])
+        rep.cancel()
         t_close = time.monotonic()
         stats = await get_stats(port)
         await srv.stop()
