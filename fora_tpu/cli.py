@@ -440,7 +440,11 @@ def _main(argv=None) -> int:
                                     batch=args.batch)
             return res.node_ids, res.values
 
-        serve_forever(query_fn, batch=args.batch, k=args.k, port=args.port)
+        # inflight=1: TopkRunner.query_pool keeps [n, batch] state and is
+        # not thread-safe; concurrent batches at LiveJournal scale OOM the
+        # chip (measured).  The device serializes batches regardless.
+        serve_forever(query_fn, batch=args.batch, k=args.k, port=args.port,
+                      inflight=1)
         return 0
 
     # --- query actions ---

@@ -133,8 +133,13 @@ def main():
     from fora_tpu.serve import ForaServer
 
     async def run():
+        # inflight=1: a query_pool batch holds ~4 [n, 128] f32 buffers
+        # (~8.6 GB at 4.2M nodes) — two concurrent batches OOM the 16 GB
+        # chip (measured RESOURCE_EXHAUSTED), and TopkRunner's pool state
+        # is not thread-safe anyway.  The device is serial; batch-level
+        # pipelining buys nothing here.
         srv = ForaServer(query_fn, batch=args.batch, k=K,
-                         max_wait_ms=200.0, inflight=2,
+                         max_wait_ms=200.0, inflight=1,
                          max_pending=2 * args.clients,
                          admission_timeout_ms=10000.0,
                          slo_exact=exact_map, slo_sample_every=4)
