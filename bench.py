@@ -43,8 +43,9 @@ edges).  Scale via env:
                      [chunk, B] intermediate; default 21)
   FORA_BENCH_HUB     hub-split rows: in-edges from the top-H out-degree
                      sources gather from a compact [H, B] operand
-                     (default 65536; 0 disables) — measured 14% faster
-                     superstep at judged scale (hub_split_probe.py)
+                     (default 131072 = the 64 MB operand sweet spot; 0
+                     disables) — measured 16% faster superstep at judged
+                     scale (hub_split_probe.py)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -117,7 +118,7 @@ USE_INDEX = env_int("FORA_BENCH_INDEX", 1)
 RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
 DEFER = env_int("FORA_BENCH_DEFER", 64)
 CHUNK = 1 << env_int("FORA_BENCH_CHUNK", 21)
-HUB = env_int("FORA_BENCH_HUB", 65536)
+HUB = env_int("FORA_BENCH_HUB", 131072)
 SEED = 7
 
 TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
