@@ -369,26 +369,46 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
     bucket = np.concatenate([bucket,
                              np.full(len(dang), NUM_BUCKETS - 1)])
 
-    # sort by (bucket ascending, endpoint) then flip bucket order so the
-    # deepest buckets sit at the tail; a depth-q query slices [off[q]:].
-    order = np.lexsort((dst, bucket))
-    src, dst, bucket = src[order], dst[order], bucket[order]
-
-    bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
-    bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
-    np.cumsum(bucket_sizes, out=bucket_offsets[1:])
-
     # counts_cum[v, q] = edges of v visible at depth q (buckets >= q) —
     # computed on the RAW (pre-merge) pool: these are the estimator's
-    # i.i.d. sample counts
-    counts_cum = np.zeros((n, NUM_BUCKETS), dtype=np.int32)
-    for q in range(NUM_BUCKETS):
-        lo = bucket_offsets[q]
-        counts_cum[:, q] = np.bincount(src[lo:], minlength=n)
+    # i.i.d. sample counts.  One bincount over (bucket, src) pairs +
+    # a reversed cumsum over buckets — no sorted array needed.
+    hist = np.bincount(bucket.astype(np.int64) * n + src,
+                       minlength=NUM_BUCKETS * n).reshape(NUM_BUCKETS, n)
+    counts_cum = np.flip(np.cumsum(np.flip(hist, 0), axis=0),
+                         0).T.astype(np.int32).copy()
 
+    nb = max(int(n - 1).bit_length(), 1)
     mult = None
-    if dedup:
-        src, dst, bucket, mult = _merge_bucket_duplicates(src, dst, bucket)
+    if dedup and 2 * nb + 4 <= 63:
+        # fast path (the host-side build bottleneck at scale): ONE argsort
+        # of a packed (bucket, dst, src) int64 key replaces the
+        # (dst, bucket) lexsort + the merge's (src, dst, bucket) lexsort.
+        # Unstable sort is fine: equal keys are identical rows.  Output is
+        # (bucket, dst, src)-sorted — bit-identical to the legacy
+        # two-lexsort pipeline's merged result.
+        key = ((bucket.astype(np.int64) << (2 * nb)) | (dst << nb) | src)
+        key = key[np.argsort(key)]
+        first = np.empty(len(key), dtype=bool)
+        if len(key):
+            first[0] = True
+            first[1:] = key[1:] != key[:-1]
+        group = np.cumsum(first) - 1
+        mult = np.bincount(group).astype(np.float32)
+        key = key[first]
+        src = key & ((1 << nb) - 1)
+        dst = (key >> nb) & ((1 << nb) - 1)
+        bucket = (key >> (2 * nb)).astype(np.int8)
+        bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
+        bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
+        np.cumsum(bucket_sizes, out=bucket_offsets[1:])
+    else:
+        # legacy path: (bucket, dst) sort, optional merge
+        order = np.lexsort((dst, bucket))
+        src, dst, bucket = src[order], dst[order], bucket[order]
+        if dedup:
+            src, dst, bucket, mult = _merge_bucket_duplicates(src, dst,
+                                                              bucket)
         bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
         bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
         np.cumsum(bucket_sizes, out=bucket_offsets[1:])
