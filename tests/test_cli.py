@@ -185,3 +185,51 @@ def test_cli_hub_rows_matches_default(dataset, tmp_path):
     assert set(a) == set(b)
     for s in a:
         assert a[s]["ids"] == b[s]["ids"], s
+
+
+def test_cli_serve_action_tcp(dataset):
+    """The serve action end-to-end: spawn the CLI server as a subprocess,
+    query it over TCP, check answers + stats, then terminate."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    prefix, g = dataset
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fora_tpu.cli", "serve",
+         "--prefix", str(prefix), "--dataset", "er", "--with-idx",
+         "--batch", "4", "--k", "8", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env)
+    try:
+        line = proc.stdout.readline()       # "[fora-tpu] serving on h:p"
+        assert "serving on" in line, line
+        port = int(line.rsplit(":", 1)[1])
+        deadline = time.time() + 120
+        sock = None
+        while time.time() < deadline:
+            try:
+                sock = socket.create_connection(("127.0.0.1", port), 5)
+                break
+            except OSError:
+                time.sleep(0.2)
+        assert sock is not None
+        sock.settimeout(120)    # first query compiles the pool programs
+        f = sock.makefile("rw")
+        for i, s in enumerate([3, 99, 200]):
+            f.write(_json.dumps({"id": i, "source": s}) + "\n")
+            f.flush()
+            resp = _json.loads(f.readline())
+            assert resp["id"] == i and len(resp["nodes"]) == 8, resp
+        f.write('{"cmd": "stats"}\n')
+        f.flush()
+        stats = _json.loads(f.readline())
+        assert stats["queries"] >= 3 and stats["errors"] == 0
+        sock.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
