@@ -318,3 +318,32 @@ def test_segmented_push_matches_single_program():
     np.testing.assert_allclose(np.asarray(res_r1), np.asarray(res_r2),
                                rtol=1e-6)
     assert int(r1.push_iters) == int(r2.push_iters)
+
+
+def test_pack_fast_path_equals_legacy_merge():
+    """pack_index's packed-key fast path produces exactly the legacy
+    pipeline's merged layout: pack(dedup=False) (legacy sort) upgraded by
+    dedup_index equals pack(dedup=True) (fast path) bit for bit."""
+    from fora_tpu.config import ForaConfig
+    from fora_tpu.index import build as ib
+
+    rng = np.random.default_rng(3)
+    n = 1 << 10
+    deg = rng.integers(0, 12, n)
+    deg[rng.random(n) < 0.05] = 0
+    rcfg = ForaConfig(epsilon=0.5).resolved(n, max(int(deg.sum()), 1))
+    counts = ib.index_counts(deg, rcfg)
+    endpoints = rng.integers(0, n, int(counts.sum())).astype(np.int32)
+    fast = ib.pack_index(endpoints, counts, deg, rcfg, dedup=True)
+    legacy = ib.dedup_index(
+        ib.pack_index(endpoints, counts, deg, rcfg, dedup=False))
+    np.testing.assert_array_equal(np.asarray(fast.edge_src),
+                                  np.asarray(legacy.edge_src))
+    np.testing.assert_array_equal(np.asarray(fast.edge_dst),
+                                  np.asarray(legacy.edge_dst))
+    np.testing.assert_array_equal(np.asarray(fast.edge_mult),
+                                  np.asarray(legacy.edge_mult))
+    np.testing.assert_array_equal(fast.bucket_offsets,
+                                  legacy.bucket_offsets)
+    np.testing.assert_array_equal(np.asarray(fast.counts_cum),
+                                  np.asarray(legacy.counts_cum))
