@@ -381,9 +381,17 @@ def main():
     step_secs = profiling.measure(lambda: step(dg, srcs), reps=3, warmup=1)
     roof = profiling.SpmvRoofline(edges=m_eff, batch=BATCH, nodes=g.n)
     roof_eff = roof.efficiency(step_secs)
+    # the BINDING ceiling is XLA's random-gather element rate, not HBM
+    # bytes: 62 M rows/s measured on v5e for uniform indices at ANY
+    # operand size 8 MB - 2.1 GB (scripts/hub_split_probe.py --micro);
+    # report the superstep against both
+    GATHER_CEIL = 62e6
+    elem_rate = m_eff / step_secs
     log(f"push superstep: {step_secs*1e3:.1f}ms for {m_eff} edges @ B={BATCH}"
         f" -> {roof.bytes_moved/step_secs/1e9:.1f} GB/s eff"
-        f" = {roof_eff:.3f} of HBM speed-of-light")
+        f" = {roof_eff:.3f} of HBM speed-of-light; "
+        f"{elem_rate/1e6:.1f} M rows/s = "
+        f"{elem_rate/GATHER_CEIL:.2f} of the measured gather ceiling")
 
     exact_ids = get_exact(g, sources)
     prec = metrics.batch_precision_at_k(
@@ -422,6 +430,10 @@ def main():
         "push_superstep_secs": round(step_secs, 4),
         "push_roofline_efficiency": round(roof_eff, 4),
         "push_effective_gbps": round(roof.bytes_moved / step_secs / 1e9, 1),
+        "push_mrows_per_sec": round(elem_rate / 1e6, 1),
+        # vs the measured 62 M rows/s uniform-gather element-rate ceiling
+        # (the binding limit for this kernel; hub_split_probe.py)
+        "push_vs_gather_ceiling": round(elem_rate / GATHER_CEIL, 3),
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(out), flush=True)
