@@ -50,22 +50,47 @@ def montecarlo_query_scheduled(graph: DeviceGraph, sources: jnp.ndarray,
 
 
 def make_montecarlo_fn(graph: DeviceGraph, rcfg: ResolvedConfig,
-                       max_walks: int = 1 << 22):
+                       max_walks: int = 1 << 22,
+                       max_lanes_per_program: int = 1 << 22):
+    """Chunked MC query closure.  One monolithic program over
+    num_walks*B lanes can exceed the ~60s axon relay watchdog at large
+    omega — dispatch in <= ``max_lanes_per_program``-lane chunks (the
+    same cap build_hub_index uses) and average the per-chunk estimates.
+    The plain-kernel fallback on schedule overflow then also re-runs only
+    the overflowing chunk, not the whole query."""
     import functools
 
     import numpy as np
     num_walks = min(int(rcfg.omega_unit) + 1, max_walks)
+
+    def walks_per_chunk(B: int) -> int:
+        return max(1, max_lanes_per_program // max(1, B))
+
     # graph passes as a jit argument, not a closure constant (see
-    # make_fora_param_fn docstring)
-    impl = jax.jit(functools.partial(montecarlo_query_scheduled, rcfg=rcfg,
-                                     num_walks=num_walks))
-    plain = jax.jit(functools.partial(montecarlo_query, rcfg=rcfg,
-                                      num_walks=num_walks))
+    # make_fora_param_fn docstring).  num_walks as a static kwarg keeps one
+    # compiled shape per (chunk size, B).
+    impl = jax.jit(functools.partial(montecarlo_query_scheduled, rcfg=rcfg),
+                   static_argnames=("num_walks",))
+    plain = jax.jit(functools.partial(montecarlo_query, rcfg=rcfg),
+                    static_argnames=("num_walks",))
 
     def fn(sources, key):
-        est, ok = impl(graph, sources, key)
-        if not bool(np.asarray(ok)):   # schedule overflow: plain kernel
-            est = plain(graph, sources, key)
+        B = int(sources.shape[0])
+        wpc = walks_per_chunk(B)
+        est = None
+        done = 0
+        i = 0
+        while done < num_walks:
+            w = min(wpc, num_walks - done)
+            # keep at most two compiled shapes: full chunks + one remainder
+            ck = jax.random.fold_in(key, i)
+            e, ok = impl(graph, sources, ck, num_walks=w)
+            if not bool(np.asarray(ok)):   # schedule overflow: plain kernel
+                e = plain(graph, sources, ck, num_walks=w)
+            est = e * (w / num_walks) if est is None \
+                else est + e * (w / num_walks)
+            done += w
+            i += 1
         return est
 
     return fn

@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "learned/persisted first-accepting level)")
     p.add_argument("--hub-rows", type=int, default=0,
                    help="split in-edges from the top-H out-degree sources "
-                        "into a compact-operand gather (measured 14% "
+                        "into a compact-operand gather (measured 14%% "
                         "faster push superstep at LiveJournal scale; "
                         "0 disables)")
     p.add_argument("--bf16-gather", action="store_true",

@@ -236,12 +236,15 @@ def run_walk_chunks(run, counts: np.ndarray, total: int, key: jax.Array, *,
             drain_one()
     except BaseException:
         # preemption mid-build: best-effort drain of already-dispatched
-        # chunks so their checkpoints persist (resume skips them)
-        try:
-            while inflight:
-                drain_one()
-        except Exception:
-            pass
+        # chunks so their checkpoints persist (resume skips them).  With no
+        # checkpoint_dir the drained results would be discarded — don't make
+        # a Ctrl-C block on device work for nothing.
+        if ckpt is not None:
+            try:
+                while inflight:
+                    drain_one()
+            except Exception:
+                pass
         raise
     return endpoints
 
