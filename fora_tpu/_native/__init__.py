@@ -51,6 +51,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+    if hasattr(lib, "fora_sort_unique_u64"):
+        lib.fora_sort_unique_u64.restype = ctypes.c_int64
+        lib.fora_sort_unique_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
     if hasattr(lib, "fora_build_alias"):
         lib.fora_build_alias.restype = ctypes.c_int64
         lib.fora_build_alias.argtypes = [
@@ -134,6 +143,32 @@ def _native_build_alias(indptr: np.ndarray, cols: np.ndarray,
     return prob, other
 
 
+def _native_sort_unique_u64(keys: np.ndarray, key_bits: int,
+                            n_threads: int = 0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Parallel radix sort + duplicate-run merge of a packed key array
+    (pack_index's host bottleneck — 170 s of numpy argsort at judged
+    scale, BUILD_r04).  ``keys`` is DESTROYED (sorted + compacted in
+    place).  Returns (unique sorted keys, run multiplicities f32) as
+    slices of the input/scratch buffers."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if keys.dtype == np.int64 and keys.flags.c_contiguous:
+        keys = keys.view(np.uint64)   # nonneg packed keys: free reinterpret
+    else:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    mult = np.empty(len(keys), dtype=np.float32)
+    u = lib.fora_sort_unique_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(keys), int(key_bits),
+        mult.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(n_threads))
+    if u < 0:
+        raise MemoryError("radix sort scratch allocation failed")
+    return keys[:u], mult[:u]
+
+
 # Public symbols: None when the native path cannot be used at all.
 native_parse_edges = _native_parse_edges if _load() is not None else None
 native_parse_edges_w = (
@@ -143,4 +178,8 @@ native_parse_edges_w = (
 native_build_alias = (
     _native_build_alias
     if _load() is not None and hasattr(_load(), "fora_build_alias")
+    else None)
+native_sort_unique_u64 = (
+    _native_sort_unique_u64
+    if _load() is not None and hasattr(_load(), "fora_sort_unique_u64")
     else None)

@@ -109,7 +109,42 @@ def _topk_with_bounds(ppr, p, omega_unit, *, k: int, t: float, eps: float):
     return vals_k, idx_k, lb, ub, lbk, ub_excluded, bound_accept
 
 
+def _topk_with_bounds_split(p, contrib, omega_unit, *, k: int, t: float,
+                            eps: float):
+    """_topk_with_bounds on a SPLIT estimate ppr = p + contrib: the sum is
+    formed per node-slab inside the chunked top-k (topk_rows_chunked
+    ``addend``), so the full [n, B] ppr is never materialized — at
+    LiveJournal scale B=256 that buffer is 4.3 GB the wide-batch
+    refinement loop's HBM budget does not have (round-5 memory audit)."""
+    from ..ops.topk import topk_rows_chunked
+    n, B = p.shape
+    kk = min(k + 1, n)
+    c = 1.0 / omega_unit
+    vals, idx, p_all = topk_rows_chunked(p, kk, p, addend=contrib)
+    vals_k, idx_k = vals[:, :k], idx[:, :k]
+    p_at = p_all[:, :k]
+    mu_hat = jnp.maximum(vals_k - p_at, 0.0)
+    ub_mu = bernstein_ub(mu_hat, c, t)
+    lb = p_at + bernstein_lb(mu_hat, c, t, ub=ub_mu)
+    ub = p_at + ub_mu
+    lbk = jnp.min(lb, axis=1)
+    if kk > k:
+        ub_excluded = bernstein_ub(vals[:, k], c, t)        # worst case p=0
+    else:  # k >= n: nothing is excluded
+        ub_excluded = jnp.zeros((B,), p.dtype)
+    bound_accept = lbk * (1.0 + eps) >= ub_excluded
+    return vals_k, idx_k, lb, ub, lbk, ub_excluded, bound_accept
+
+
 def make_topk_bounds_fn(k: int, t: float, eps: float):
     """Jitted (ppr, p, omega_unit) -> topk+bounds; omega_unit is a runtime
     scalar so all delta levels share one compile per batch width."""
     return jax.jit(functools.partial(_topk_with_bounds, k=k, t=t, eps=eps))
+
+
+def make_topk_bounds_split_fn(k: int, t: float, eps: float):
+    """Jitted (p, contrib, omega_unit) -> topk+bounds with the estimate
+    supplied split (ppr = p + contrib summed per slab, never fully
+    materialized); ``contrib`` is DONATED — it is dead after the accept."""
+    return jax.jit(functools.partial(_topk_with_bounds_split, k=k, t=t,
+                                     eps=eps), donate_argnums=(1,))

@@ -223,12 +223,110 @@ class StagedForaPrograms:
             max_chunk=gather_chunk,
             gather_dtype=gather_dtype), donate_argnums=(1,))
 
+        # Host-stepped superstep for LARGE states (_push_stepped): inside
+        # one program XLA cannot alias the new residue onto the old (r has
+        # other readers in the fused body), so the while-loop push holds
+        # TWO extra [n, B] temps — 17.6 GB peak at 4.2M nodes B=256 vs
+        # v5e's 15.75 (scripts/hbm_audit.py) — and a whole-superstep jit
+        # showed the same.  Splitting the superstep at a jit boundary
+        # makes each half's donation alias cleanly:
+        #   A (donate p):        p' = p + absorbed mass;  contrib out
+        #   B (donate r):        r  = masked residue, scatter-added from
+        #                        contrib in place; convergence flag out
+        # One host poll (~10 ms) per ~1 s superstep at that scale.
+        def step_a(g, p, r, thr):
+            deg = g.out_deg.astype(jnp.float32)[:, None]
+            dangling = deg == 0.0
+            active = r > thr[:, None]
+            ar = jnp.where(active, r, 0.0)
+            p = p + jnp.where(dangling, ar, rcfg.alpha * ar)
+            wsum = deg if g.out_wsum is None else g.out_wsum[:, None]
+            contrib = jnp.where(
+                dangling, 0.0,
+                (1.0 - rcfg.alpha) * ar / jnp.maximum(wsum, 1e-30))
+            if gather_dtype is not None:
+                contrib = contrib.astype(gather_dtype)
+            return p, contrib
+
+        def step_b(g, r, contrib, thr):
+            r = jnp.where(r > thr[:, None], 0.0, r)
+            r = push_ops.gather_scatter_add(
+                r, contrib, g.in_src, g.in_dst, max_chunk=gather_chunk,
+                edge_w=g.in_w)
+            if g.hub_split:
+                r = push_ops.gather_scatter_add(
+                    r, contrib[g.hub_ids], g.hub_src_local, g.hub_dst,
+                    max_chunk=gather_chunk, edge_w=g.hub_w)
+            return r, jnp.any(r > thr[:, None])
+
+        self._step_a = jax.jit(step_a, donate_argnums=(1,))
+        self._step_b = jax.jit(step_b, donate_argnums=(1, 2))
+
+        # PAIRED superstep (push_pair_stepped): the gather runs at the
+        # concatenated width of TWO query blocks (row-rate-bound: two
+        # blocks per gathered row) while state stays per-block [n, w]
+        # buffers — the concatenated contrib is the only paired-width
+        # array, cast to gather_dtype BEFORE the concat so the full-width
+        # f32 version never exists.
+        def step_a_pair(g, pA, pB, rA, rB, thr):
+            deg = g.out_deg.astype(jnp.float32)[:, None]
+            dangling = deg == 0.0
+            wsum = deg if g.out_wsum is None else g.out_wsum[:, None]
+            thr2 = thr[:, None]
+
+            def half(p, r):
+                active = r > thr2
+                ar = jnp.where(active, r, 0.0)
+                p = p + jnp.where(dangling, ar, rcfg.alpha * ar)
+                c = jnp.where(dangling, 0.0,
+                              (1.0 - rcfg.alpha) * ar
+                              / jnp.maximum(wsum, 1e-30))
+                if gather_dtype is not None:
+                    c = c.astype(gather_dtype)
+                return p, c
+
+            pA, cA = half(pA, rA)
+            pB, cB = half(pB, rB)
+            # paired contrib assembled via in-place dynamic-update-slices
+            # (a plain concatenate materializes BOTH halves as separate
+            # temps before the copy — 4-6 GB at judged scale B=256,
+            # scripts/hbm_audit.py)
+            w = rA.shape[1]
+            contrib = jnp.zeros((rA.shape[0], 2 * w), cA.dtype)
+            contrib = jax.lax.dynamic_update_slice(contrib, cA, (0, 0))
+            contrib = jax.lax.dynamic_update_slice(contrib, cB, (0, w))
+            return pA, pB, contrib
+
+        def step_b_pair(g, rA, rB, contrib, thr):
+            thr2 = thr[:, None]
+            rA = jnp.where(rA > thr2, 0.0, rA)
+            rB = jnp.where(rB > thr2, 0.0, rB)
+            rA, rB = push_ops.gather_scatter_add_pair(
+                rA, rB, contrib, g.in_src, g.in_dst,
+                max_chunk=gather_chunk, edge_w=g.in_w)
+            if g.hub_split:
+                rA, rB = push_ops.gather_scatter_add_pair(
+                    rA, rB, contrib[g.hub_ids], g.hub_src_local, g.hub_dst,
+                    max_chunk=gather_chunk, edge_w=g.hub_w)
+            cont = jnp.logical_or(jnp.any(rA > thr2), jnp.any(rB > thr2))
+            return rA, rB, cont
+
+        self._step_a_pair = jax.jit(step_a_pair, donate_argnums=(1, 2))
+        self._step_b_pair = jax.jit(step_b_pair, donate_argnums=(1, 2, 3))
+        # stepped when one state buffer exceeds ~0.75 GB — the regime
+        # where the one-program superstep's extra temps threaten HBM and
+        # a superstep is long enough (>= ~300 ms) to hide the per-step
+        # host sync
+        self._stepped_bytes = 3 << 28
+
         def bucket_spmv(src, dst, mult, r, inv_cnt, contrib):
             # inv_cnt folded into the gather (src_w) so the weighted
             # residue rw = r * inv_cnt is never materialized as a second
-            # [n, B] operand
-            return contrib + push_ops.gather_segment_sum(
-                r, src, dst, rcfg.n, max_chunk=gather_chunk,
+            # [n, B] operand; scatter-add lands in the DONATED contrib
+            # accumulator directly (no separate [n+1, B] segment-sum
+            # buffer — see gather_scatter_add)
+            return push_ops.gather_scatter_add(
+                contrib, r, src, dst, max_chunk=gather_chunk,
                 gather_dtype=gather_dtype, edge_w=mult, src_w=inv_cnt)
 
         self._bucket = jax.jit(bucket_spmv, donate_argnums=(5,))
@@ -266,6 +364,9 @@ class StagedForaPrograms:
         return max(4, int(self._push_segment_secs / est_secs))
 
     def _push_segmented(self, p0, r0, rmax, thr):
+        n, B = r0.shape
+        if thr is not None and n * B * 4 >= self._stepped_bytes:
+            return self._push_stepped(p0, r0, thr)
         st = push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32))
         seg = self._segment_iters(r0.shape[1])
         done = 0
@@ -279,29 +380,88 @@ class StagedForaPrograms:
                 break
         return st._replace(iters=jnp.int32(done))
 
-    def state_fn(self, index_depth: int):
-        from ..index import build as ib
+    def push_pair_stepped(self, pA, pB, rA, rB, thr):
+        """Paired host-stepped push: blocks A and B advance through shared
+        supersteps whose gather runs at the concatenated width (see
+        _step_a_pair/_step_b_pair).  Returns (pA, pB, rA, rB, iters)."""
+        import numpy as np
+        iters = 0
+        while iters < self.rcfg.max_push_iters:
+            pA, pB, contrib = self._step_a_pair(self.graph, pA, pB, rA, rB,
+                                                thr)
+            rA, rB, cont = self._step_b_pair(self.graph, rA, rB, contrib,
+                                             thr)
+            iters += 1
+            if not bool(np.asarray(cont)):
+                break
+        return pA, pB, rA, rB, iters
 
-        def fn(p0, r0, key, rmax, omega_unit):
-            del key
-            # per-node coverage threshold: the guarantee needs the per-walk
-            # weight bound r_v/omega_v <= 1/omega_unit, and the index
-            # supplies exactly counts_col samples at this depth — so push
-            # may stop at r_v <= count_v/omega_unit, never tighter than
-            # rmax*deg_v and much looser on low-degree tail rows.
-            counts_col = self.index.counts_cum[:, index_depth]
-            thr = counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
+    def _push_stepped(self, p, r, thr):
+        """Two jitted programs per superstep (see _step_a/_step_b), state
+        donated across each boundary; termination is the per-node
+        coverage threshold ``thr`` alone (the staged caller always
+        supplies it — it is never tighter than rmax*deg).  The per-step
+        ``cont`` poll is a blocking 1-byte read — RTT is trivially hidden
+        behind the ~1 s superstep in the large-state regime that selects
+        this path."""
+        import numpy as np
+        iters = 0
+        while iters < self.rcfg.max_push_iters:
+            p, contrib = self._step_a(self.graph, p, r, thr)
+            r, cont = self._step_b(self.graph, r, contrib, thr)
+            iters += 1
+            if not bool(np.asarray(cont)):
+                break
+        return push_ops.PushState(p=p, r=r, iters=jnp.int32(iters))
+
+    def coverage_thr(self, index_depth: int, omega_unit):
+        """Per-node coverage threshold: the guarantee needs the per-walk
+        weight bound r_v/omega_v <= 1/omega_unit, and the index supplies
+        exactly counts_col samples at this depth — so push may stop at
+        r_v <= count_v/omega_unit, never tighter than rmax*deg_v and much
+        looser on low-degree tail rows."""
+        counts_col = self.index.counts_cum[:, index_depth]
+        return counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
+
+    def walk_contrib(self, r, index_depth: int):
+        """Index walk-phase SpMV: depth-``index_depth`` tail buckets
+        scatter-added into a fresh contrib accumulator (one compiled
+        program per bucket shape, shared across levels/widths)."""
+        from ..index import build as ib
+        inv = self._inv_cnt(index_depth)
+        contrib = jnp.zeros_like(r)
+        for q in range(index_depth, ib.NUM_BUCKETS):
+            if self._buckets[q] is None:
+                continue
+            src, dst, mult = self._buckets[q]
+            contrib = self._bucket(src, dst, mult, r, inv, contrib)
+        return contrib
+
+    def lean_state_fn(self, index_depth: int):
+        """``(p0, r0, rmax, omega_unit) -> (p, r, contrib, iters)``: push +
+        index SpMV WITHOUT materializing ppr = p + contrib — the caller
+        (TopkRunner's fused accept, bounds.make_topk_bounds_split_fn) sums
+        the two per node-slab inside the chunked top-k.  At LiveJournal
+        scale B=256 the skipped [n, B] f32 ppr buffer is 4.3 GB of HBM the
+        wide-batch refinement loop does not have."""
+
+        def fn(p0, r0, rmax, omega_unit):
+            thr = self.coverage_thr(index_depth, omega_unit)
             # p0/r0 are DONATED — callers must not reuse them (query_pool
             # rebinds its state blocks to the outputs)
             st = self._push_segmented(p0, r0, rmax, thr)
-            inv = self._inv_cnt(index_depth)
-            contrib = jnp.zeros_like(st.r)
-            for q in range(index_depth, ib.NUM_BUCKETS):
-                if self._buckets[q] is None:
-                    continue
-                src, dst, mult = self._buckets[q]
-                contrib = self._bucket(src, dst, mult, st.r, inv, contrib)
-            return self._finish(st.p, contrib, st.r, st.iters), st.p, st.r
+            contrib = self.walk_contrib(st.r, index_depth)
+            return st.p, st.r, contrib, st.iters
+
+        return fn
+
+    def state_fn(self, index_depth: int):
+        lean = self.lean_state_fn(index_depth)
+
+        def fn(p0, r0, key, rmax, omega_unit):
+            del key
+            p, r, contrib, iters = lean(p0, r0, rmax, omega_unit)
+            return self._finish(p, contrib, r, iters), p, r
 
         return fn
 

@@ -391,14 +391,25 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
         # (bucket, dst, src)-sorted — bit-identical to the legacy
         # two-lexsort pipeline's merged result.
         key = ((bucket.astype(np.int64) << (2 * nb)) | (dst << nb) | src)
-        key = key[np.argsort(key)]
-        first = np.empty(len(key), dtype=bool)
-        if len(key):
-            first[0] = True
-            first[1:] = key[1:] != key[:-1]
-        group = np.cumsum(first) - 1
-        mult = np.bincount(group).astype(np.float32)
-        key = key[first]
+        from .. import _native
+        if _native.native_sort_unique_u64 is not None and len(key):
+            # parallel radix sort + in-pass duplicate merge: replaces the
+            # single-threaded numpy introsort that was 170 s of the 258 s
+            # judged-scale build (BUILD_r04; _native/radix_sort.cpp).
+            # Output is bit-identical — sorted order of a key multiset and
+            # its run-length merge are algorithm-independent.
+            ukeys, mult = _native.native_sort_unique_u64(
+                key, key_bits=2 * nb + 4)
+            key = ukeys.view(np.int64)
+        else:
+            key = np.sort(key)
+            first = np.empty(len(key), dtype=bool)
+            if len(key):
+                first[0] = True
+                first[1:] = key[1:] != key[:-1]
+            group = np.cumsum(first) - 1
+            mult = np.bincount(group).astype(np.float32)
+            key = key[first]
         src = key & ((1 << nb) - 1)
         dst = (key >> nb) & ((1 << nb) - 1)
         bucket = (key >> (2 * nb)).astype(np.int8)

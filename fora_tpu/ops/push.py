@@ -47,6 +47,29 @@ def init_state(n: int, sources: jnp.ndarray) -> PushState:
                      iters=jnp.zeros((), jnp.int32))
 
 
+def _gather_narrow(values, s, out_dtype):
+    """Gather rows of ``values`` at ``s`` and widen to ``out_dtype``, with
+    the widening PINNED after the gather.
+
+    Without the pin, XLA rewrites convert(gather(x)) -> gather(convert(x))
+    and hoists the operand convert out of the chunk loop — materializing a
+    full-width f32 copy of the whole operand (4.3 GB at LiveJournal scale
+    B=256) and making the hot gather read f32 rows, silently un-doing the
+    narrow-operand bandwidth saving (measured via scripts/hbm_audit.py HLO
+    dump; a multiply-by-opaque-1 in between is defeated too — XLA's
+    precision-increasing simplifications pull the convert through any
+    elementwise op).  ``optimization_barrier`` on the gathered chunk is
+    the one fence the simplifier cannot cross; it costs materializing the
+    narrow [chunk, B] gather result, which the scatter/segment consumer
+    needed anyway.
+    """
+    vals = values[s]
+    if values.dtype != out_dtype:
+        vals = jax.lax.optimization_barrier(vals)
+        vals = vals.astype(out_dtype)
+    return vals
+
+
 def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
                        dst: jnp.ndarray, n: int,
                        max_chunk: int = 1 << 23,
@@ -83,13 +106,17 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     out_dtype = values.dtype
     if gather_dtype is not None:
         values = values.astype(gather_dtype)
-    if E <= max_chunk:
-        vals = values[src].astype(out_dtype)
+
+    def scaled(s, w):
+        vals = _gather_narrow(values, s, out_dtype)
         if src_w is not None:
-            vals = vals * src_w[src][:, None]
-        if edge_w is not None:
-            vals = vals * edge_w[:, None]
-        return jax.ops.segment_sum(vals, dst, num_segments=n,
+            vals = vals * src_w[s][:, None]
+        if w is not None:
+            vals = vals * w[:, None]
+        return vals
+
+    if E <= max_chunk:
+        return jax.ops.segment_sum(scaled(src, edge_w), dst, num_segments=n,
                                    indices_are_sorted=True)
     n_chunks = -(-E // max_chunk)
     pad = n_chunks * max_chunk - E
@@ -106,18 +133,120 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
 
     def body(acc, chunk):
         s, d, w = chunk
-        vals = values[s].astype(out_dtype)
-        if src_w is not None:
-            vals = vals * src_w[s][:, None]
-        if w is not None:
-            vals = vals * w[:, None]
-        acc = acc + jax.ops.segment_sum(vals, d, num_segments=n + 1,
+        acc = acc + jax.ops.segment_sum(scaled(s, w), d, num_segments=n + 1,
                                         indices_are_sorted=True)
         return acc, None
 
     acc0 = jnp.zeros((n + 1, values.shape[1]), out_dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_p, dst_p, w_p))
     return acc[:n]
+
+
+def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
+                       src: jnp.ndarray, dst: jnp.ndarray,
+                       max_chunk: int = 1 << 23,
+                       gather_dtype=None,
+                       edge_w: jnp.ndarray = None,
+                       src_w: jnp.ndarray = None) -> jnp.ndarray:
+    """acc[t] += sum over edges e with dst[e]==t of (scaled) values[src[e]],
+    scatter-added into the caller's accumulator.
+
+    The accumulator twin of :func:`gather_segment_sum`, for callers that
+    already own a [n, B] buffer the result lands in (the push superstep's
+    residue carry, the staged bucket-SpMV's contrib accumulator).  The
+    sorted scatter-add updates ``acc`` directly, so XLA aliases it in
+    place when the input is otherwise dead — eliminating the separate
+    [n+1, B] segment-sum accumulator that at LiveJournal scale (4.2M
+    nodes, B=256) was the 4.3 GB that kept wide batches from fitting
+    v5e HBM (round-5 memory audit; see _superstep).
+
+    Chunk-padding entries carry ``dst = acc.shape[0]`` — out of range, so
+    the scatter's drop mode discards them; no padded row, no [n+1, B]
+    copy.  Scale semantics (``gather_dtype``/``edge_w``/``src_w``) match
+    gather_segment_sum exactly.
+    """
+    E = src.shape[0]
+    n = acc.shape[0]
+    out_dtype = acc.dtype
+    if gather_dtype is not None:
+        values = values.astype(gather_dtype)
+
+    def add_chunk(a, s, d, w):
+        vals = _gather_narrow(values, s, out_dtype)
+        if src_w is not None:
+            vals = vals * src_w[s][:, None]
+        if w is not None:
+            vals = vals * w[:, None]
+        return a.at[d].add(vals, indices_are_sorted=True, mode="drop")
+
+    if E <= max_chunk:
+        return add_chunk(acc, src, dst, edge_w)
+    n_chunks = -(-E // max_chunk)
+    pad = n_chunks * max_chunk - E
+    # pad entries: src 0 (any valid row), dst n (out of range -> dropped)
+    src_p = jnp.concatenate(
+        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
+    dst_p = jnp.concatenate(
+        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
+    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
+           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+
+    def body(a, chunk):
+        s, d, w = chunk
+        return add_chunk(a, s, d, w), None
+
+    acc, _ = jax.lax.scan(body, acc, (src_p, dst_p, w_p))
+    return acc
+
+
+def gather_scatter_add_pair(acc_a: jnp.ndarray, acc_b: jnp.ndarray,
+                            values: jnp.ndarray,
+                            src: jnp.ndarray, dst: jnp.ndarray,
+                            max_chunk: int = 1 << 23,
+                            edge_w: jnp.ndarray = None):
+    """gather_scatter_add with ONE wide gather feeding TWO half-width
+    accumulators: ``values`` is [n, 2w] (the concatenated contributions of
+    a block pair), each gathered chunk's column halves scatter-add into
+    ``acc_a``/``acc_b`` ([n, w] each).
+
+    This is the paired-push superstep's core trade (SURVEY.md Sec. 7.1
+    batching stance): the random row-gather is row-rate-bound, so rows at
+    the PAIRED width serve two query blocks per gathered row — while the
+    residue carries stay per-block buffers that donate/alias cleanly and
+    keep the walk/accept phases at the block width that fits HBM.
+    """
+    E = src.shape[0]
+    n = acc_a.shape[0]
+    w = acc_a.shape[1]
+    out_dtype = acc_a.dtype
+
+    def add_chunk(a, b, s, d, ew):
+        vals = _gather_narrow(values, s, out_dtype)
+        if ew is not None:
+            vals = vals * ew[:, None]
+        a = a.at[d].add(vals[:, :w], indices_are_sorted=True, mode="drop")
+        b = b.at[d].add(vals[:, w:], indices_are_sorted=True, mode="drop")
+        return a, b
+
+    if E <= max_chunk:
+        return add_chunk(acc_a, acc_b, src, dst, edge_w)
+    n_chunks = -(-E // max_chunk)
+    pad = n_chunks * max_chunk - E
+    src_p = jnp.concatenate(
+        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
+    dst_p = jnp.concatenate(
+        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
+    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
+           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+
+    def body(carry, chunk):
+        a, b = carry
+        s, d, ew = chunk
+        return add_chunk(a, b, s, d, ew), None
+
+    (acc_a, acc_b), _ = jax.lax.scan(body, (acc_a, acc_b),
+                                     (src_p, dst_p, w_p))
+    return acc_a, acc_b
 
 
 def active_edge_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
@@ -177,22 +306,28 @@ def _superstep(graph: DeviceGraph, rmax: float, alpha: float,
         delta = active_edge_segment_sum(contrib, graph.in_src, graph.in_dst,
                                         n, row_active, e_cap,
                                         max_chunk=max_chunk)
+        r = jnp.where(active, 0.0, state.r) + delta
     else:
-        delta = gather_segment_sum(contrib, graph.in_src, graph.in_dst, n,
-                                   max_chunk=max_chunk,
-                                   gather_dtype=gather_dtype,
-                                   edge_w=graph.in_w)
+        # scatter-add the gathered contributions straight into the new
+        # residue carry: the retained sub-threshold residue seeds the
+        # accumulator, so no separate [n+1, B] segment-sum buffer exists —
+        # at 4.2M nodes x B=256 that buffer (4.3 GB) was the difference
+        # between fitting v5e HBM and the round-4 measured OOM
+        r = jnp.where(active, 0.0, state.r)
+        r = gather_scatter_add(r, contrib, graph.in_src, graph.in_dst,
+                               max_chunk=max_chunk,
+                               gather_dtype=gather_dtype,
+                               edge_w=graph.in_w)
         if graph.hub_split:
             # hub edges gather from the compact [H, B] operand: measured
             # 14% faster superstep at LiveJournal scale — the full-table
             # gather under hub-skewed indices runs at 51 M elem/s vs the
             # 62 M elem/s compact-operand ceiling (hub_split_probe.py;
             # the [H, B] take is one cheap shared-index row gather)
-            delta = delta + gather_segment_sum(
-                contrib[graph.hub_ids], graph.hub_src_local, graph.hub_dst,
-                n, max_chunk=max_chunk, gather_dtype=gather_dtype,
-                edge_w=graph.hub_w)
-    r = jnp.where(active, 0.0, state.r) + delta
+            r = gather_scatter_add(
+                r, contrib[graph.hub_ids], graph.hub_src_local,
+                graph.hub_dst, max_chunk=max_chunk,
+                gather_dtype=gather_dtype, edge_w=graph.hub_w)
     return PushState(p=p, r=r, iters=state.iters + 1)
 
 

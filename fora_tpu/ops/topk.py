@@ -28,7 +28,7 @@ def local_topk_candidates(ppr_shard: jnp.ndarray, k: int, row_offset: jnp.ndarra
 
 
 def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
-                      chunk: int = 1 << 19):
+                      chunk: int = 1 << 19, addend: jnp.ndarray = None):
     """Node-chunked top-k over a node-major [n, B] estimate.
 
     ``lax.top_k(ppr.T, k)`` materializes the full [B, n] transpose plus
@@ -43,23 +43,66 @@ def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
     (e.g. the settled push mass p for the confidence bounds) — gathered
     per slab, so their [B, n] transposes are never built either.
 
+    ``addend`` (optional [n, B]): ranking proceeds over
+    ``ppr + addend``, summed PER SLAB — so a split estimate
+    (settled mass p + walk contrib) is ranked without ever materializing
+    the full [n, B] sum (4.3 GB at LiveJournal scale B=256; see
+    bounds.make_topk_bounds_split_fn).
+
     Returns (vals [B, k] desc, global row ids [B, k], *extra_at [B, k]).
     """
     n = ppr.shape[0]
+
+    def scored(lo, hi):
+        s = ppr[lo:hi]
+        if addend is not None:
+            s = s + addend[lo:hi].astype(s.dtype)
+        return s
+
     if n <= chunk:
-        vals, idx = jax.lax.top_k(ppr.T, min(k, n))
+        vals, idx = jax.lax.top_k(scored(0, n).T, min(k, n))
         outs = [jnp.take_along_axis(e.T, idx, axis=1) for e in extra]
         return (vals, idx, *outs)
     kk = min(k, chunk)
-    cand_v, cand_i, cand_e = [], [], [[] for _ in extra]
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        v, i = jax.lax.top_k(ppr[lo:hi].T, min(kk, hi - lo))
+    # full slabs run under lax.scan: a statically unrolled slab loop lets
+    # XLA schedule the (independent) slab top_ks concurrently, keeping
+    # EVERY [B, chunk] transpose live at once — measured 4.0 GB of temp at
+    # LiveJournal scale B=256 (scripts/hbm_audit.py) where one slab is
+    # 0.5 GB.  scan forces sequential temp reuse: one slab in flight.
+    n_slabs = n // chunk
+    n_full = n_slabs * chunk
+
+    def body(_, xs):
+        p_s = xs[0]
+        off = xs[1]
+        pos = 2
+        if addend is not None:
+            s = p_s + xs[pos].astype(p_s.dtype)
+            pos += 1
+        else:
+            s = p_s
+        v, i = jax.lax.top_k(s.T, kk)
+        outs = tuple(jnp.take_along_axis(e.T, i, axis=1) for e in xs[pos:])
+        return None, (v, i + off, *outs)
+
+    xs = [ppr[:n_full].reshape(n_slabs, chunk, -1),
+          jnp.arange(n_slabs, dtype=jnp.int32) * chunk]
+    if addend is not None:
+        xs.append(addend[:n_full].reshape(n_slabs, chunk, -1))
+    xs.extend(e[:n_full].reshape(n_slabs, chunk, -1) for e in extra)
+    _, stacked = jax.lax.scan(body, None, tuple(xs))
+    # [n_slabs, B, kk] -> [B, n_slabs * kk]
+    cand_v = [stacked[0].transpose(1, 0, 2).reshape(stacked[0].shape[1], -1)]
+    cand_i = [stacked[1].transpose(1, 0, 2).reshape(stacked[1].shape[1], -1)]
+    cand_e = [[s.transpose(1, 0, 2).reshape(s.shape[1], -1)]
+              for s in stacked[2:]]
+    if n_full < n:                                # remainder slab
+        v, i = jax.lax.top_k(scored(n_full, n).T, min(kk, n - n_full))
         cand_v.append(v)
-        cand_i.append(i + lo)
+        cand_i.append(i + n_full)
         for j, e in enumerate(extra):
-            cand_e[j].append(jnp.take_along_axis(e[lo:hi].T, i, axis=1))
-    cv = jnp.concatenate(cand_v, axis=1)          # [B, n_slabs * kk]
+            cand_e[j].append(jnp.take_along_axis(e[n_full:].T, i, axis=1))
+    cv = jnp.concatenate(cand_v, axis=1)          # [B, ~n_slabs * kk]
     ci = jnp.concatenate(cand_i, axis=1)
     vals, sel = jax.lax.top_k(cv, k)
     idx = jnp.take_along_axis(ci, sel, axis=1)

@@ -49,6 +49,19 @@ class PartitionedGraph(NamedTuple):
     out_wsum_sharded: Optional[np.ndarray] = None  # [G * n_loc] f32, pad 0
     alias_prob: Optional[np.ndarray] = None      # [m] f32 replicated
     alias_other: Optional[np.ndarray] = None     # [m] i32 replicated
+    # hub-split in-edges (partition_rows(hub_rows=H); see sharded._push_loop
+    # and graph/csr.py DeviceGraph hub fields): edges whose SOURCE is a
+    # global top-H out-degree node move to a per-shard hub partition and
+    # gather from a compact [H, Bq] slice of the exchanged contribution
+    # vector — the skew-hammered full-table gather runs at 51 M rows/s vs
+    # the 62 M compact-operand ceiling (single-chip measurement,
+    # scripts/hub_split_probe.py).  When set, the tail arrays above hold
+    # only non-hub edges.
+    hub_ids: Optional[np.ndarray] = None           # [H] i32 global, replicated
+    mh_loc: int = 0                                # hub edges/shard (padded)
+    hub_src_slot_sharded: Optional[np.ndarray] = None  # [G*mh_loc] i32, pad 0
+    hub_dst_local_sharded: Optional[np.ndarray] = None  # [G*mh_loc] i32, pad n_loc
+    hub_w_sharded: Optional[np.ndarray] = None     # [G*mh_loc] f32, pad 0
 
     @property
     def n_pad(self) -> int:
@@ -57,6 +70,10 @@ class PartitionedGraph(NamedTuple):
     @property
     def weighted(self) -> bool:
         return self.out_wsum_sharded is not None
+
+    @property
+    def hub_split(self) -> bool:
+        return self.hub_ids is not None
 
 
 def partition_rows(g: CSRGraph, n_shards: int,

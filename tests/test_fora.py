@@ -271,3 +271,50 @@ def test_update_start_level_structural_rule():
     r.last_level_stats = [mk(0, 128, 126, 1, 128)]
     r._update_start_level(128)
     assert r.auto_start_level == 0
+
+
+def test_topk_pool_push_pair_matches_single():
+    """push_pair pairs pool blocks through shared concatenated-width push
+    supersteps (gather_scatter_add_pair).  Indexed refinement is
+    deterministic, and the paired scatter adds the same edge
+    contributions per destination in the same order — results must match
+    the unpaired pool to f32 round-off, with identical top-k ids."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    sources = np.arange(24)
+    key = jax.random.key(9)
+
+    base = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx).query_pool(
+        sources, key, batch=8, start_level=0)
+    paired_runner = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx,
+                                         push_pair=True)
+    assert paired_runner.push_pair
+    paired = paired_runner.query_pool(sources, key, batch=8, start_level=0)
+
+    np.testing.assert_array_equal(paired.node_ids, base.node_ids)
+    np.testing.assert_allclose(paired.values, base.values,
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_array_equal(paired.accepted, base.accepted)
+
+
+def test_topk_pool_push_pair_odd_blocks():
+    """An odd trailing block falls back to the single-block level step;
+    pairing must not disturb per-query results or bookkeeping."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(300, 2400, seed=5)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=6).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(2))
+    sources = np.arange(18)    # 3 blocks of 6: one pair + one single
+    key = jax.random.key(3)
+
+    base = topk_algo.TopkRunner(dg, rcfg, k=6, index=idx).query_pool(
+        sources, key, batch=6, start_level=0)
+    paired = topk_algo.TopkRunner(dg, rcfg, k=6, index=idx,
+                                  push_pair=True).query_pool(
+        sources, key, batch=6, start_level=0)
+    np.testing.assert_array_equal(paired.node_ids, base.node_ids)
+    np.testing.assert_array_equal(paired.accepted, base.accepted)
