@@ -46,6 +46,10 @@ edges).  Scale via env:
                      (default 131072 = the 64 MB operand sweet spot; 0
                      disables) — measured 16% faster superstep at judged
                      scale (hub_split_probe.py)
+  FORA_BENCH_PAIR    1 = paired push (pool blocks pushed two-at-a-time at
+                     the concatenated gather width; needs POOL >= 2*BATCH)
+                     — the round-5 answer to the judged-scale B=128
+                     HBM wall (TopkRunner push_pair)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """
@@ -119,9 +123,11 @@ RMAXS = float(os.environ.get("FORA_BENCH_RMAXS", "1"))
 DEFER = env_int("FORA_BENCH_DEFER", 64)
 CHUNK = 1 << env_int("FORA_BENCH_CHUNK", 21)
 HUB = env_int("FORA_BENCH_HUB", 131072)
+PAIR = env_int("FORA_BENCH_PAIR", 0)
+WEIGHTED = env_int("FORA_BENCH_WEIGHTED", 0)
 SEED = 7
 
-TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}"
+TAG = f"rmat{NLOG2}x{EDGEF}s{SEED}" + ("w" if WEIGHTED else "")
 
 
 def log(msg):
@@ -136,9 +142,20 @@ def get_graph():
         z = np.load(f)
         return CSRGraph(**{k: z[k] for k in CSRGraph._fields
                            if k in z.files})
-    log(f"generating RMAT n=2^{NLOG2}, m={EDGEF}*n ...")
+    log(f"generating RMAT n=2^{NLOG2}, m={EDGEF}*n"
+        + (" (weighted)" if WEIGHTED else "") + " ...")
     t0 = time.time()
     g = generators.rmat(NLOG2, (1 << NLOG2) * EDGEF, seed=SEED)
+    if WEIGHTED:
+        # log-uniform weights in [0.25, 4): the full weighted kernel
+        # (alias-table walks, w/W push, weighted oracle) on the same
+        # topology as the unweighted headline row
+        from fora_tpu.graph.csr import from_edges
+        rng = np.random.default_rng(SEED + 31)
+        src = np.repeat(np.arange(g.n, dtype=np.int64),
+                        np.asarray(g.out_deg, np.int64))
+        w = np.exp2(rng.uniform(-2, 2, g.m)).astype(np.float32)
+        g = from_edges(src, np.asarray(g.out_indices, np.int64), g.n, w=w)
     CACHE.mkdir(parents=True, exist_ok=True)
     np.savez(f, **{k: v for k, v in g._asdict().items() if v is not None})
     log(f"generated in {time.time()-t0:.1f}s")
@@ -226,6 +243,18 @@ def main():
     from fora_tpu.graph import to_device
     from fora_tpu import index as widx
 
+    try:
+        # the upstream mount has shipped empty every round (SURVEY.md
+        # header); if it is ever populated, the survey's verification
+        # pass (SURVEY.md Sec. 8) must be re-run before trusting any
+        # reconstruction-cited behavior here
+        if any(os.scandir("/root/reference")):
+            log("NOTE: /root/reference is NON-EMPTY — re-run SURVEY.md "
+                "Sec. 8 verification against the real upstream before "
+                "citing reconstruction-based parity")
+    except OSError:
+        pass
+
     g = get_graph()
     sources = get_sources(g)
     log(f"graph n={g.n} m={g.m}; device={jax.devices()[0].device_kind}")
@@ -262,7 +291,8 @@ def main():
     gdtype = jnp.bfloat16 if env_int("FORA_BENCH_BF16", 0) else None
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
                                   delta_stride=DSTRIDE, accept_slack=ACCEPT,
-                                  gather_dtype=gdtype, gather_chunk=CHUNK)
+                                  gather_dtype=gdtype, gather_chunk=CHUNK,
+                                  push_pair=bool(PAIR))
     key = jax.random.key(SEED + 2)
     pool_w = min(POOL, QUERIES)
     n_q = (QUERIES // pool_w) * pool_w
@@ -398,7 +428,13 @@ def main():
         np.stack([results[int(s)] for s in sources[:EVAL_N]]), exact_ids)
     log(f"precision@{K} vs exact: {prec:.4f}")
 
-    cpp_qps, cpp_ids = run_cpp_baseline(g, sources)
+    if WEIGHTED:
+        # the C++ baseline implements the unweighted reference kernel;
+        # the weighted row is scored against the weighted exact oracle
+        # only (vs_baseline null)
+        cpp_qps, cpp_ids = None, None
+    else:
+        cpp_qps, cpp_ids = run_cpp_baseline(g, sources)
     cpp_prec = None
     if cpp_ids is not None:
         ncmp = min(len(cpp_ids), EVAL_N)
@@ -416,6 +452,9 @@ def main():
         "baseline_precision_at_k": cpp_prec,
         "k": K, "epsilon": EPS, "graph": TAG, "n": g.n, "m": g.m,
         "batch": BATCH, "queries": n_q, "indexed": bool(USE_INDEX),
+        "push_pair": bool(PAIR), "pool": pool_w,
+        "bf16_gather": bool(env_int("FORA_BENCH_BF16", 0)),
+        "weighted": bool(WEIGHTED),
         "eval_queries": EVAL_N, "baseline_queries": CPPQ,
         # the baseline implements BOTH acceptance paths (threshold +
         # Bernstein bound separation), same as the TPU engine — the

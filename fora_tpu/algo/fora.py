@@ -380,19 +380,34 @@ class StagedForaPrograms:
                 break
         return st._replace(iters=jnp.int32(done))
 
+    # Convergence polls run LAGGED: the flag of superstep i is read only
+    # after steps i+1..i+POLL_LAG have been dispatched, so the 1-byte
+    # device->host readback (a full relay round-trip in this image —
+    # measured ~100-200 ms, which at bench scale TRIPLED the stepped
+    # push's cost when polled synchronously) overlaps their execution.
+    # On convergence the lagged steps were identity supersteps (empty
+    # active set: p and r provably unchanged), so state stays exact; the
+    # only cost is up to POLL_LAG no-op gathers per push call.
+    POLL_LAG = 2
+
     def push_pair_stepped(self, pA, pB, rA, rB, thr):
         """Paired host-stepped push: blocks A and B advance through shared
         supersteps whose gather runs at the concatenated width (see
         _step_a_pair/_step_b_pair).  Returns (pA, pB, rA, rB, iters)."""
+        import collections
+
         import numpy as np
         iters = 0
+        pending = collections.deque()
         while iters < self.rcfg.max_push_iters:
             pA, pB, contrib = self._step_a_pair(self.graph, pA, pB, rA, rB,
                                                 thr)
             rA, rB, cont = self._step_b_pair(self.graph, rA, rB, contrib,
                                              thr)
+            pending.append(cont)
             iters += 1
-            if not bool(np.asarray(cont)):
+            if len(pending) > self.POLL_LAG and \
+                    not bool(np.asarray(pending.popleft())):
                 break
         return pA, pB, rA, rB, iters
 
@@ -400,17 +415,20 @@ class StagedForaPrograms:
         """Two jitted programs per superstep (see _step_a/_step_b), state
         donated across each boundary; termination is the per-node
         coverage threshold ``thr`` alone (the staged caller always
-        supplies it — it is never tighter than rmax*deg).  The per-step
-        ``cont`` poll is a blocking 1-byte read — RTT is trivially hidden
-        behind the ~1 s superstep in the large-state regime that selects
-        this path."""
+        supplies it — it is never tighter than rmax*deg).  Convergence
+        polls are lagged (POLL_LAG) to hide the relay round-trip."""
+        import collections
+
         import numpy as np
         iters = 0
+        pending = collections.deque()
         while iters < self.rcfg.max_push_iters:
             p, contrib = self._step_a(self.graph, p, r, thr)
             r, cont = self._step_b(self.graph, r, contrib, thr)
+            pending.append(cont)
             iters += 1
-            if not bool(np.asarray(cont)):
+            if len(pending) > self.POLL_LAG and \
+                    not bool(np.asarray(pending.popleft())):
                 break
         return push_ops.PushState(p=p, r=r, iters=jnp.int32(iters))
 

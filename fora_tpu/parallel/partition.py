@@ -77,7 +77,13 @@ class PartitionedGraph(NamedTuple):
 
 
 def partition_rows(g: CSRGraph, n_shards: int,
-                   row_multiple: int = 8) -> PartitionedGraph:
+                   row_multiple: int = 8,
+                   hub_rows: int = 0) -> PartitionedGraph:
+    """``hub_rows`` > 0: split each shard's in-edges by global source
+    out-degree, exactly as the single-chip ``to_device(hub_rows=...)`` —
+    edges from the top-H out-degree sources move to a per-shard hub
+    partition gathered from a compact [H, Bq] slice of the exchanged
+    contribution vector (see PartitionedGraph hub fields)."""
     n = g.n
     n_loc = math.ceil(n / n_shards)
     n_loc = -(-n_loc // row_multiple) * row_multiple
@@ -85,9 +91,34 @@ def partition_rows(g: CSRGraph, n_shards: int,
 
     in_dst = np.asarray(g.in_dst, dtype=np.int64)
     in_src = np.asarray(g.in_src, dtype=np.int64)
+    in_w = np.asarray(g.in_w, np.float32) if g.weighted else None
+
+    hub_ids = hub_slot = None
+    hub_src = hub_dst = hub_w = None
+    if hub_rows > 0 and n > hub_rows and g.m:
+        deg64 = np.asarray(g.out_deg, np.int64)
+        # same selection rule as graph/csr.to_device: top-H by out-degree,
+        # stable, ids kept sorted (the [H, Bq] operand take is a shared-
+        # index row gather either way)
+        hub_ids = np.sort(np.argsort(-deg64, kind="stable")[:hub_rows]
+                          ).astype(np.int32)
+        hub_slot = np.full(n, -1, np.int32)
+        hub_slot[hub_ids] = np.arange(hub_rows, dtype=np.int32)
+        is_hub = hub_slot[in_src] >= 0
+        # stable partition keeps both subsets dst-sorted (sorted
+        # segment_sum contract)
+        hub_src = hub_slot[in_src[is_hub]].astype(np.int64)
+        hub_dst = in_dst[is_hub]
+        if in_w is not None:
+            hub_w = in_w[is_hub]
+            in_w = in_w[~is_hub]
+        in_src = in_src[~is_hub]
+        in_dst = in_dst[~is_hub]
+
+    m_tail = len(in_src)
     shard_of_edge = in_dst // n_loc
     counts = np.bincount(shard_of_edge, minlength=n_shards)
-    m_loc = int(counts.max()) if g.m else 1
+    m_loc = int(counts.max()) if m_tail else 1
 
     src_flat = np.full(n_shards * m_loc, n_pad, dtype=np.int32)  # pad: zero slot
     dst_flat = np.full(n_shards * m_loc, n_loc, dtype=np.int32)  # pad: dropped
@@ -97,14 +128,35 @@ def partition_rows(g: CSRGraph, n_shards: int,
     # vectorized scatter places every edge (no per-shard Python loop)
     edge_start = np.zeros(n_shards + 1, dtype=np.int64)
     np.cumsum(counts, out=edge_start[1:])
-    if g.m:
+    if m_tail:
         pos = (shard_of_edge * m_loc
-               + np.arange(g.m, dtype=np.int64)
+               + np.arange(m_tail, dtype=np.int64)
                - edge_start[shard_of_edge])
         src_flat[pos] = in_src
         dst_flat[pos] = in_dst - shard_of_edge * n_loc
         if w_flat is not None:
-            w_flat[pos] = g.in_w
+            w_flat[pos] = in_w
+
+    mh_loc = 0
+    hsrc_flat = hdst_flat = hw_flat = None
+    if hub_ids is not None:
+        h_shard = hub_dst // n_loc
+        h_counts = np.bincount(h_shard, minlength=n_shards)
+        mh_loc = max(int(h_counts.max()), 1)
+        hsrc_flat = np.zeros(n_shards * mh_loc, dtype=np.int32)  # pad slot 0
+        hdst_flat = np.full(n_shards * mh_loc, n_loc, dtype=np.int32)
+        hw_flat = (np.zeros(n_shards * mh_loc, dtype=np.float32)
+                   if g.weighted else None)
+        h_start = np.zeros(n_shards + 1, dtype=np.int64)
+        np.cumsum(h_counts, out=h_start[1:])
+        if len(hub_dst):
+            hpos = (h_shard * mh_loc
+                    + np.arange(len(hub_dst), dtype=np.int64)
+                    - h_start[h_shard])
+            hsrc_flat[hpos] = hub_src
+            hdst_flat[hpos] = hub_dst - h_shard * n_loc
+            if hw_flat is not None:
+                hw_flat[hpos] = hub_w
 
     deg = np.zeros(n_pad, dtype=np.int32)
     deg[:n] = np.asarray(g.out_deg)
@@ -131,6 +183,10 @@ def partition_rows(g: CSRGraph, n_shards: int,
         out_deg=deg,
         in_w_sharded=w_flat, out_wsum_sharded=wsum,
         alias_prob=alias_p, alias_other=alias_o,
+        hub_ids=hub_ids, mh_loc=mh_loc,
+        hub_src_slot_sharded=hsrc_flat,
+        hub_dst_local_sharded=hdst_flat,
+        hub_w_sharded=hw_flat,
     )
 
 
@@ -150,6 +206,14 @@ def needed_masks(pg: PartitionedGraph) -> np.ndarray:
     for t in range(G):
         src = pg.in_src_global[t * pg.m_loc:(t + 1) * pg.m_loc]
         src = src[src < pg.n_pad].astype(np.int64)
+        if pg.hub_split:
+            # hub-partition edges gather from a slice of the SAME
+            # exchanged contribution vector, so their sources must be
+            # routed exactly like tail sources
+            hd = pg.hub_dst_local_sharded[t * pg.mh_loc:(t + 1) * pg.mh_loc]
+            hs = pg.hub_src_slot_sharded[t * pg.mh_loc:(t + 1) * pg.mh_loc]
+            hsrc = pg.hub_ids[hs[hd < n_loc]].astype(np.int64)
+            src = np.concatenate([src, hsrc])
         s, i = np.divmod(src, n_loc)
         need[s, t, i] = True
     return need.reshape(G * G, n_loc)

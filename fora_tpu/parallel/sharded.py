@@ -243,11 +243,18 @@ def hier_ici_bytes_model(*, batch: int, G: int, cap: int,
 
 def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
                alpha, max_iters, n_loc, exchange_fn,
-               in_w=None, wsum=None):
+               in_w=None, wsum=None, hub=None):
     """Sharded push supersteps from (p0, r0) until r <= thr everywhere.
     thr: [n_loc, 1] per-node termination threshold.  Weighted graphs pass
     per-in-edge weights ``in_w`` [m_loc] and per-row out-weight totals
     ``wsum`` [n_loc, 1] (the propagated fraction is w/W, see ops/push.py).
+
+    ``hub`` (optional): (hub_ids [H], hub_src_slot [mh_loc],
+    hub_dst_local [mh_loc], hub_w or None) — the per-shard hub partition
+    (partition_rows(hub_rows=...)): its edges gather from the compact
+    [H, Bq] slice of the exchanged contribution vector instead of
+    hammering the full [n_pad, Bq] table with the degree-skewed sources
+    (the single-chip measurement: 51 vs 62 M rows/s, to_device hub docs).
     """
     div = jnp.maximum(deg_f, 1.0) if wsum is None else jnp.maximum(wsum,
                                                                    1e-30)
@@ -272,6 +279,15 @@ def _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst, *,
             vals = vals * in_w[:, None]
         delta = jax.ops.segment_sum(vals, in_dst, num_segments=n_loc + 1,
                                     indices_are_sorted=True)[:n_loc]
+        if hub is not None:
+            hub_ids, hub_slot, hub_dst, hub_w = hub
+            hub_op = contrib_full[hub_ids]                    # [H, Bq]
+            hvals = hub_op[hub_slot]                          # [mh_loc, Bq]
+            if hub_w is not None:
+                hvals = hvals * hub_w[:, None]
+            delta = delta + jax.ops.segment_sum(
+                hvals, hub_dst, num_segments=n_loc + 1,
+                indices_are_sorted=True)[:n_loc]
         r = jnp.where(active, 0.0, r) + delta
         return (p, r, it + 1, frontier_count(r))
 
@@ -328,12 +344,16 @@ def _shard_fora_topk(
     idx_counts_cum,   # [n_loc, Q] i32 (or dummy)
     idx_edge_mult,    # [e_loc_total] f32 duplicate-merge multiplicity,
     #                   pad=0 (or dummy; see index/build.py)
+    hub_ids,          # [H] i32 global hub node ids, replicated (or dummy)
+    hub_src_slot,     # [mh_loc] i32 position in hub_ids, pad=0 (or dummy)
+    hub_dst_loc,      # [mh_loc] i32 local dst, pad=n_loc (or dummy)
+    hub_w,            # [mh_loc] f32 weights, pad=0 (or dummy)
     *, rcfg: ResolvedConfig, n_loc: int, num_lanes_loc: int, k: int,
     use_index: bool, index_has_mult: bool = False, index_depth: int = 0,
     index_bucket_offsets=None, pallas_ring: bool = False,
     pallas_interpret: bool = False, n_graph_shards: int = 1,
     exchange: str = "dense", exchange_cap: int = 0, weighted: bool = False,
-    host_groups=None,
+    host_groups=None, hub_split: bool = False,
 ):
     G = n_graph_shards
     g_id = jax.lax.axis_index(GRAPH_AXIS)
@@ -366,11 +386,14 @@ def _shard_fora_topk(
         _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
         n_loc=n_loc, n_pad=n_pad_g, G=G, pallas_ring=pallas_ring,
         pallas_interpret=pallas_interpret, host_groups=host_groups)
+    hub = ((hub_ids, hub_src_slot, hub_dst_loc,
+            hub_w if weighted else None) if hub_split else None)
     p, r, iters = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                              alpha=alpha, max_iters=rcfg.max_push_iters,
                              n_loc=n_loc, exchange_fn=exchange_fn,
                              in_w=in_w_loc if weighted else None,
-                             wsum=wsum_loc[:, None] if weighted else None)
+                             wsum=wsum_loc[:, None] if weighted else None,
+                             hub=hub)
 
     # --- walk phase: shard-local residues feed either the local slice of
     # the multi-resolution index (SpMV over index edges, endpoint mass
@@ -442,10 +465,11 @@ def _shard_level_step(
     omega_unit,       # [] f32 runtime scalar
     in_src, in_dst, deg_loc, in_w_loc, wsum_loc, needed,
     idx_edge_src, idx_edge_dst, idx_counts_cum, idx_edge_mult,
+    hub_ids, hub_src_slot, hub_dst_loc, hub_w,
     *, rcfg: ResolvedConfig, n_loc: int, k: int, index_depth: int,
     index_bucket_offsets, index_has_mult: bool, n_graph_shards: int,
     exchange: str, exchange_cap: int, t_bound: float,
-    weighted: bool = False, host_groups=None,
+    weighted: bool = False, host_groups=None, hub_split: bool = False,
 ):
     """One delta level of the sharded refinement pool: resume push from
     (p0, r0) to the level's per-node coverage threshold, indexed walk
@@ -468,11 +492,14 @@ def _shard_level_step(
     exchange_fn = functools.partial(
         _frontier_exchange, mode=exchange, needed=needed, cap=exchange_cap,
         n_loc=n_loc, n_pad=n_pad, G=G, host_groups=host_groups)
+    hub = ((hub_ids, hub_src_slot, hub_dst_loc,
+            hub_w if weighted else None) if hub_split else None)
     p, r, _ = _push_loop(p0, r0, thr, deg_f, dangling, in_src, in_dst,
                          alpha=rcfg.alpha, max_iters=rcfg.max_push_iters,
                          n_loc=n_loc, exchange_fn=exchange_fn,
                          in_w=in_w_loc if weighted else None,
-                         wsum=wsum_loc[:, None] if weighted else None)
+                         wsum=wsum_loc[:, None] if weighted else None,
+                         hub=hub)
 
     contrib_all = _indexed_contrib(
         r, idx_edge_src, idx_edge_dst, idx_edge_mult, counts_col,
@@ -578,7 +605,8 @@ class _ShardedPlacement:
     def __init__(self, g, mesh, index=None, *,
                  exchange: str = "dense", exchange_capacity_frac: float = 0.125,
                  with_walk_side: bool = True,
-                 chips_per_host: Optional[int] = None):
+                 chips_per_host: Optional[int] = None,
+                 hub_rows: int = 0):
         from .graph_store import ShardedGraphStore
         self.mesh = mesh
         G = mesh.shape[GRAPH_AXIS]
@@ -595,10 +623,17 @@ class _ShardedPlacement:
                 raise ValueError(
                     f"graph store is {g.n_shards}-way, mesh graph axis is "
                     f"{G}; re-save with save_sharded_graph(..., {G})")
+            if hub_rows:
+                raise ValueError(
+                    "hub_rows is not supported with a ShardedGraphStore "
+                    "yet: deriving the per-shard hub partition needs a "
+                    "global max over shard hub-edge counts, which would "
+                    "break the ~1/G-bytes-per-host load contract; "
+                    "partition in RAM (hub split) or store without it")
             pg = _StorePlacementMeta(n_shards=G, n_loc=g.n_loc,
                                      m_loc=g.m_loc, weighted=g.weighted)
         else:
-            pg = part.partition_rows(g, G)
+            pg = part.partition_rows(g, G, hub_rows=hub_rows)
         self.pg = pg
         self.exchange = exchange
         self.exchange_cap = (
@@ -643,6 +678,11 @@ class _ShardedPlacement:
                 fs("out_deg", (G * n_loc,), np.int32),
                 in_w, wsum, needed,
             ]
+            self.hub_split = False
+            self.hub_args = [put(np.zeros(1, np.int32), self.rep),
+                             put(np.zeros(G, np.int32), gspec),
+                             put(np.full(G, n_loc, np.int32), gspec),
+                             put(np.zeros(G, np.float32), gspec)]
             if with_walk_side:
                 if not g.with_walk_side:
                     raise ValueError(
@@ -678,6 +718,21 @@ class _ShardedPlacement:
             put(pg.out_deg_sharded, gspec),
             put(in_w, gspec), put(wsum, gspec), put(needed, gspec),
         ]
+        # per-shard hub split (partition_rows(hub_rows=...)): hub_ids
+        # replicated, hub edge arrays row-sharded like the tail
+        self.hub_split = pg.hub_split
+        if self.hub_split:
+            self.hub_args = [
+                put(pg.hub_ids, self.rep),
+                put(pg.hub_src_slot_sharded, gspec),
+                put(pg.hub_dst_local_sharded, gspec),
+                put(pg.hub_w_sharded if pg.hub_w_sharded is not None
+                    else np.zeros(G, np.float32), gspec)]
+        else:
+            self.hub_args = [put(np.zeros(1, np.int32), self.rep),
+                             put(np.zeros(G, np.int32), gspec),
+                             put(np.full(G, pg.n_loc, np.int32), gspec),
+                             put(np.zeros(G, np.float32), gspec)]
         if with_walk_side:
             # raw-walk mode: out-CSR row-sharded like everything else
             # (SURVEY.md Sec. 5.7 — retires the v1 replicated walk CSR);
@@ -776,7 +831,8 @@ class ShardedForaEngine:
                  exchange: Optional[str] = None,
                  ragged_exchange: bool = False,
                  ragged_capacity_frac: float = 0.125,
-                 chips_per_host: Optional[int] = None):
+                 chips_per_host: Optional[int] = None,
+                 hub_rows: int = 0):
         exchange = _resolve_exchange(exchange, ragged_exchange, pallas_ring)
         self.mesh = mesh
         self.rcfg = rcfg
@@ -789,7 +845,7 @@ class ShardedForaEngine:
             g, mesh, index, exchange=exchange,
             exchange_capacity_frac=ragged_capacity_frac,
             with_walk_side=not self.use_index,
-            chips_per_host=chips_per_host)
+            chips_per_host=chips_per_host, hub_rows=hub_rows)
         self.pg = data.pg
 
         if num_lanes is None:
@@ -811,7 +867,8 @@ class ShardedForaEngine:
             ]
         else:
             walk_args = data.walk_args
-        self._args = data.push_args + walk_args + data.index_args
+        self._args = (data.push_args + walk_args + data.index_args
+                      + data.hub_args)
 
         fn = functools.partial(
             _shard_fora_topk, rcfg=rcfg, n_loc=data.n_loc,
@@ -822,14 +879,15 @@ class ShardedForaEngine:
             pallas_ring=pallas_ring, pallas_interpret=pallas_interpret,
             n_graph_shards=G, exchange=exchange,
             exchange_cap=data.exchange_cap, weighted=data.weighted,
-            host_groups=data.host_groups)
+            host_groups=data.host_groups, hub_split=data.hub_split)
         gspec, rep = data.gspec, data.rep
         mapped = shard_map(
             fn, mesh,
             in_specs=(P(QUERY_AXIS), P(),
                       gspec, gspec, gspec, gspec, gspec, gspec,
                       gspec, gspec, gspec, gspec,
-                      gspec, gspec, gspec, gspec),
+                      gspec, gspec, gspec, gspec,
+                      rep, gspec, gspec, gspec),
             out_specs=(P(QUERY_AXIS), P(QUERY_AXIS), P(), P(QUERY_AXIS)))
         self._jitted = jax.jit(mapped)
         self._src_sharding = jax.sharding.NamedSharding(mesh, P(QUERY_AXIS))
@@ -858,7 +916,8 @@ class ShardedTopkRunner(TopkRunner):
                  delta_stride: float = 2.0, accept_slack: float = 1.0,
                  exchange: Optional[str] = None,
                  exchange_capacity_frac: float = 0.125,
-                 chips_per_host: Optional[int] = None):
+                 chips_per_host: Optional[int] = None,
+                 hub_rows: int = 0):
         if index is None:
             raise ValueError("ShardedTopkRunner requires a walk index")
         exchange = _resolve_exchange(exchange, False, False)
@@ -872,14 +931,16 @@ class ShardedTopkRunner(TopkRunner):
         self._data = _ShardedPlacement(
             g, mesh, index, exchange=exchange,
             exchange_capacity_frac=exchange_capacity_frac,
-            with_walk_side=False, chips_per_host=chips_per_host)
+            with_walk_side=False, chips_per_host=chips_per_host,
+            hub_rows=hub_rows)
         self._exchange = exchange
         from ..algo import bounds as bounds_mod
         self._t_bound = bounds_mod.union_bound_t(
             rcfg.n, len(self.deltas), rcfg.pfail)
         self._state_sharding = jax.sharding.NamedSharding(
             mesh, P(GRAPH_AXIS, QUERY_AXIS))
-        self._shard_args = self._data.push_args + self._data.index_args
+        self._shard_args = (self._data.push_args + self._data.index_args
+                            + self._data.hub_args)
 
     def _init_pool_state(self, src_pad):
         n_pad, C = self.G * self._data.n_loc, src_pad.shape[0]
@@ -905,7 +966,8 @@ class ShardedTopkRunner(TopkRunner):
                 index_has_mult=data.index_has_mult,
                 n_graph_shards=self.G, exchange=self._exchange,
                 exchange_cap=data.exchange_cap, t_bound=self._t_bound,
-                weighted=data.weighted, host_groups=data.host_groups)
+                weighted=data.weighted, host_groups=data.host_groups,
+                hub_split=data.hub_split)
             gspec = data.gspec
             st = P(GRAPH_AXIS, QUERY_AXIS)
             q = P(QUERY_AXIS)
@@ -913,7 +975,8 @@ class ShardedTopkRunner(TopkRunner):
                 fn, self.mesh,
                 in_specs=(st, st, P(), P(), P(),
                           gspec, gspec, gspec, gspec, gspec, gspec,
-                          gspec, gspec, gspec, gspec),
+                          gspec, gspec, gspec, gspec,
+                          P(), gspec, gspec, gspec),
                 out_specs=(q, q, q, q, q, st, st))
             # donate the row-sharded (p, r) block — query_pool rebinds the
             # block slot to the outputs, so aliasing state-in onto

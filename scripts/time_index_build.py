@@ -62,14 +62,22 @@ def main():
     build_secs = time.time() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
     per_chunk = (np.diff(times).tolist() if len(times) > 1 else [])
+    from fora_tpu import _native
     rec = {"graph": tag, "n": g.n, "m": g.m,
            "chunk_lanes": 1 << args.chunk_log2,
            "n_chunks": len(times),
            "build_secs": round(build_secs, 1),
+           # device walk phase ends at the last chunk's drain; the
+           # remainder is the host pack (bucketing + sort-merge)
+           "walk_secs": round(times[-1], 1) if times else None,
+           "pack_secs": (round(build_secs - times[-1], 1)
+                         if times else None),
            "median_chunk_secs": (round(float(np.median(per_chunk)), 2)
                                  if per_chunk else None),
            "index_edges": idx.total_edges,
-           "kernel": "scheduled-v1 + pipelined chunks"}
+           "kernel": "scheduled-v1 + pipelined chunks",
+           "pack_sort": ("native-parallel-radix"
+                         if _native.native_sort_unique_u64 else "numpy")}
     print(json.dumps(rec))
     if args.out:
         (ROOT / args.out).write_text(json.dumps(rec, indent=1))

@@ -391,3 +391,73 @@ def test_raw_walk_no_replicated_csr():
     assert walk_indices.shape[0] <= 2 * g.m  # padded G * m_loc
     shard_rows = walk_indices.shape[0] // 4
     assert shard_rows < g.m                  # strictly smaller than full m
+
+
+def test_partition_rows_hub_split_covers_all_edges():
+    """hub_rows splits each shard's in-edges into tail + hub partitions;
+    together they cover every edge exactly once, hub sources are exactly
+    the global top-H out-degree nodes, and the routed-exchange needed
+    masks still include hub sources."""
+    g, _ = _graph_and_cfg(n=300, m=3000)
+    H = 16
+    pg = partition_rows(g, 4, hub_rows=H)
+    assert pg.hub_split and len(pg.hub_ids) == H
+    deg = np.asarray(g.out_deg)
+    want_hubs = np.sort(np.argsort(-deg.astype(np.int64),
+                                   kind="stable")[:H])
+    np.testing.assert_array_equal(pg.hub_ids, want_hubs)
+    seen = []
+    for s in range(4):
+        src = pg.in_src_global[s * pg.m_loc:(s + 1) * pg.m_loc]
+        dst = pg.in_dst_local[s * pg.m_loc:(s + 1) * pg.m_loc]
+        real = dst < pg.n_loc
+        assert not np.isin(src[real], pg.hub_ids).any()
+        seen += list(zip(src[real].tolist(),
+                         (dst[real] + s * pg.n_loc).tolist()))
+        hsl = pg.hub_src_slot_sharded[s * pg.mh_loc:(s + 1) * pg.mh_loc]
+        hdl = pg.hub_dst_local_sharded[s * pg.mh_loc:(s + 1) * pg.mh_loc]
+        hreal = hdl < pg.n_loc
+        seen += list(zip(pg.hub_ids[hsl[hreal]].tolist(),
+                         (hdl[hreal] + s * pg.n_loc).tolist()))
+    assert sorted(seen) == sorted(zip(g.in_src.tolist(), g.in_dst.tolist()))
+    # needed masks: the hub-split partition must route the same sources
+    plain = needed_masks(partition_rows(g, 4))
+    np.testing.assert_array_equal(needed_masks(pg), plain)
+
+
+@pytest.mark.parametrize("exchange", ["dense", "routed"])
+def test_sharded_runner_hub_split_matches_plain(exchange):
+    """Per-shard hub split is exactness-neutral: same edges, same weights,
+    two sorted segment sums instead of one — the refinement pool must
+    return identical ids/acceptance and values to float round-off."""
+    g, rcfg = _graph_and_cfg(n=400, m=4000)
+    dg = to_device(g)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(7))
+    mesh = make_mesh(4, 2)
+    sources = np.array([3, 17, 42, 99, 123, 200, 250, 287, 311, 399])
+    key = jax.random.key(11)
+    plain = ShardedTopkRunner(g, mesh, rcfg, idx, k=10,
+                              exchange=exchange).query_pool(
+        sources, key, batch=8)
+    hub = ShardedTopkRunner(g, mesh, rcfg, idx, k=10, exchange=exchange,
+                            hub_rows=32).query_pool(
+        sources, key, batch=8)
+    assert np.array_equal(plain.accepted, hub.accepted)
+    assert np.array_equal(plain.node_ids, hub.node_ids)
+    np.testing.assert_allclose(plain.values, hub.values, rtol=1e-5)
+
+
+def test_sharded_engine_hub_split_matches_plain():
+    """The one-shot fused engine (raw-walk mode) with hub_rows: identical
+    walk phase (hub split only touches push), so top-k must match the
+    plain engine bit-for-bit given the same key."""
+    g, rcfg = _graph_and_cfg(n=300, m=3000)
+    mesh = make_mesh(4, 2)
+    srcs = np.array([1, 5, 9, 13, 100, 150, 200, 299])
+    key = jax.random.key(5)
+    plain = ShardedForaEngine(g, mesh, rcfg, k=8).topk(srcs, key)
+    hub = ShardedForaEngine(g, mesh, rcfg, k=8, hub_rows=32).topk(srcs, key)
+    np.testing.assert_array_equal(np.asarray(plain.node_ids),
+                                  np.asarray(hub.node_ids))
+    np.testing.assert_allclose(np.asarray(plain.values),
+                               np.asarray(hub.values), rtol=1e-5)
