@@ -289,10 +289,13 @@ def main():
                 f"({index.total_edges} edges)")
 
     gdtype = jnp.bfloat16 if env_int("FORA_BENCH_BF16", 0) else None
+    stepped = {-1: None, 0: False, 1: True}[env_int("FORA_BENCH_STEPPED", -1)]
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,
                                   delta_stride=DSTRIDE, accept_slack=ACCEPT,
                                   gather_dtype=gdtype, gather_chunk=CHUNK,
-                                  push_pair=bool(PAIR))
+                                  push_pair=bool(PAIR), stepped_push=stepped,
+                                  walk_half=bool(
+                                      env_int("FORA_BENCH_WALKHALF", 0)))
     key = jax.random.key(SEED + 2)
     pool_w = min(POOL, QUERIES)
     n_q = (QUERIES // pool_w) * pool_w

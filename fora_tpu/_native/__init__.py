@@ -60,6 +60,26 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+    if hasattr(lib, "fora_pack_keys"):
+        lib.fora_pack_keys.restype = None
+        lib.fora_pack_keys.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),   # offsets [n]
+            ctypes.POINTER(ctypes.c_int64),   # counts [n]
+            ctypes.POINTER(ctypes.c_int64),   # cut [n*nq]
+            ctypes.POINTER(ctypes.c_int32),   # endpoints [total]
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),  # key_out [total]
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.fora_unpack_keys.restype = None
+        lib.fora_unpack_keys.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int,
+        ]
     if hasattr(lib, "fora_build_alias"):
         lib.fora_build_alias.restype = ctypes.c_int64
         lib.fora_build_alias.argtypes = [
@@ -182,4 +202,46 @@ native_build_alias = (
 native_sort_unique_u64 = (
     _native_sort_unique_u64
     if _load() is not None and hasattr(_load(), "fora_sort_unique_u64")
+    else None)
+
+
+def _native_pack_keys(offsets, counts, cut, endpoints, nb: int,
+                      key_out, n_threads: int = 0) -> None:
+    """One parallel pass writing every pool entry's packed
+    (bucket, dst, src) sort key (see radix_sort.cpp fora_pack_keys)."""
+    lib = _load()
+    n, nq = cut.shape
+    lib.fora_pack_keys(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cut.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        endpoints.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, nq, int(nb),
+        key_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(endpoints), int(n_threads))
+
+
+def _native_unpack_keys(keys, nb: int, n_threads: int = 0):
+    """Sorted unique keys -> (src i32, dst i32, bucket i8) in one pass."""
+    lib = _load()
+    src = np.empty(len(keys), np.int32)
+    dst = np.empty(len(keys), np.int32)
+    bucket = np.empty(len(keys), np.int8)
+    lib.fora_unpack_keys(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(keys), int(nb),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bucket.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(n_threads))
+    return src, dst, bucket
+
+
+native_pack_keys = (
+    _native_pack_keys
+    if _load() is not None and hasattr(_load(), "fora_pack_keys")
+    else None)
+native_unpack_keys = (
+    _native_unpack_keys
+    if _load() is not None and hasattr(_load(), "fora_pack_keys")
     else None)

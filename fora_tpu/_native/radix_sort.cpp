@@ -131,3 +131,88 @@ int64_t fora_sort_unique_u64(uint64_t* keys, int64_t len, int key_bits,
 }
 
 }  // extern "C"
+
+namespace {
+
+void pack_range(const int64_t* offsets, const int64_t* counts,
+                const int64_t* cut, const int32_t* endpoints, int nq,
+                int nb, int64_t v_lo, int64_t v_hi, uint64_t* key_out) {
+  for (int64_t v = v_lo; v < v_hi; ++v) {
+    int64_t K = counts[v];
+    if (!K) continue;
+    const int64_t* cv = cut + v * nq;
+    const int32_t* ep = endpoints + offsets[v];
+    uint64_t* out = key_out + offsets[v];
+    uint64_t vbits = static_cast<uint64_t>(v);
+    int b = nq - 1;
+    for (int64_t j = 0; j < K; ++j) {
+      while (b > 0 && j >= cv[b]) --b;  // cutoffs decrease with depth
+      out[j] = (static_cast<uint64_t>(b) << (2 * nb)) |
+               (static_cast<uint64_t>(static_cast<uint32_t>(ep[j])) << nb) |
+               vbits;
+    }
+  }
+}
+
+void unpack_range(const uint64_t* keys, int64_t lo, int64_t hi, int nb,
+                  int32_t* src, int32_t* dst, int8_t* bucket) {
+  uint64_t mask = (uint64_t(1) << nb) - 1;
+  for (int64_t i = lo; i < hi; ++i) {
+    uint64_t k = keys[i];
+    src[i] = static_cast<int32_t>(k & mask);
+    dst[i] = static_cast<int32_t>((k >> nb) & mask);
+    bucket[i] = static_cast<int8_t>(k >> (2 * nb));
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Write the packed (bucket, dst, src) sort keys for every pool entry in
+// one parallel pass: the bucket of entry j of node v is the number of
+// per-node cutoffs cut[v, 1..nq-1] exceeding j (cutoffs decrease with
+// depth), so a per-node descending pointer emits it in O(1) amortized —
+// replacing the numpy chain (per-edge prefix sums + int64 shifts/ors over
+// [E] temporaries) that was ~35 s of the judged-scale pack on this
+// 2-core host.
+void fora_pack_keys(const int64_t* offsets, const int64_t* counts,
+                    const int64_t* cut, const int32_t* endpoints,
+                    int64_t n, int nq, int nb, uint64_t* key_out,
+                    int64_t total, int n_threads) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 1);
+  if (static_cast<int64_t>(T) > n) T = 1;
+  // balance threads by ENTRY count, not node count (power-law pools)
+  std::vector<int64_t> vb(T + 1, n);
+  vb[0] = 0;
+  int64_t v = 0;
+  for (int t = 1; t < T; ++t) {
+    int64_t target = total * t / T;
+    while (v < n && offsets[v] < target) ++v;
+    vb[t] = v;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t)
+    ts.emplace_back(pack_range, offsets, counts, cut, endpoints, nq, nb,
+                    vb[t], vb[t + 1], key_out);
+  for (auto& th : ts) th.join();
+}
+
+// Split sorted unique keys back into (src i32, dst i32, bucket i8) in one
+// parallel pass (three numpy int64 mask/shift passes were ~24 s at 210M
+// unique keys).
+void fora_unpack_keys(const uint64_t* keys, int64_t len, int nb,
+                      int32_t* src, int32_t* dst, int8_t* bucket,
+                      int n_threads) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 1);
+  if (static_cast<int64_t>(T) > len) T = 1;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t)
+    ts.emplace_back(unpack_range, keys, len * t / T, len * (t + 1) / T,
+                    nb, src, dst, bucket);
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

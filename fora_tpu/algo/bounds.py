@@ -110,17 +110,23 @@ def _topk_with_bounds(ppr, p, omega_unit, *, k: int, t: float, eps: float):
 
 
 def _topk_with_bounds_split(p, contrib, omega_unit, *, k: int, t: float,
-                            eps: float):
+                            eps: float, cols=None):
     """_topk_with_bounds on a SPLIT estimate ppr = p + contrib: the sum is
     formed per node-slab inside the chunked top-k (topk_rows_chunked
     ``addend``), so the full [n, B] ppr is never materialized — at
     LiveJournal scale B=256 that buffer is 4.3 GB the wide-batch
-    refinement loop's HBM budget does not have (round-5 memory audit)."""
+    refinement loop's HBM budget does not have (round-5 memory audit).
+
+    ``cols`` ((c0, w), static): half-walk mode — ``contrib`` is the
+    [n, w] walk accumulator of query columns [c0, c0+w); p's columns are
+    windowed per slab inside the fused scoring."""
     from ..ops.topk import topk_rows_chunked
-    n, B = p.shape
+    n = p.shape[0]
+    B = cols[1] if cols is not None else p.shape[1]
     kk = min(k + 1, n)
     c = 1.0 / omega_unit
-    vals, idx, p_all = topk_rows_chunked(p, kk, p, addend=contrib)
+    vals, idx, p_all = topk_rows_chunked(p, kk, p, addend=contrib,
+                                         cols=cols)
     vals_k, idx_k = vals[:, :k], idx[:, :k]
     p_at = p_all[:, :k]
     mu_hat = jnp.maximum(vals_k - p_at, 0.0)
@@ -148,3 +154,14 @@ def make_topk_bounds_split_fn(k: int, t: float, eps: float):
     materialized); ``contrib`` is DONATED — it is dead after the accept."""
     return jax.jit(functools.partial(_topk_with_bounds_split, k=k, t=t,
                                      eps=eps), donate_argnums=(1,))
+
+
+def make_topk_bounds_split_cols_fn(k: int, t: float, eps: float):
+    """make_topk_bounds_split_fn with a STATIC column window:
+    (p, contrib_half, omega_unit, c0, w) -> topk+bounds for query columns
+    [c0, c0+w) (half-walk mode)."""
+    def fn(p, contrib, omega_unit, c0, w):
+        return _topk_with_bounds_split(p, contrib, omega_unit, k=k, t=t,
+                                       eps=eps, cols=(c0, w))
+
+    return jax.jit(fn, donate_argnums=(1,), static_argnums=(3, 4))

@@ -199,7 +199,11 @@ class StagedForaPrograms:
 
     def __init__(self, graph: DeviceGraph, rcfg: ResolvedConfig, index,
                  gather_dtype=None, gather_chunk: int = 1 << 23,
-                 push_segment_secs: float = 20.0):
+                 push_segment_secs: float = 20.0,
+                 stepped_push=None):
+        """``stepped_push``: True forces the host-stepped split superstep,
+        False forces the while-loop program, None (default) auto-selects
+        by state size (see _push_segmented)."""
         from ..index import build as ib
         self.graph, self.rcfg, self.index = graph, rcfg, index
         # Buffer DONATION throughout: the refinement pool's (p, r) state is
@@ -316,8 +320,9 @@ class StagedForaPrograms:
         # stepped when one state buffer exceeds ~0.75 GB — the regime
         # where the one-program superstep's extra temps threaten HBM and
         # a superstep is long enough (>= ~300 ms) to hide the per-step
-        # host sync
+        # host sync; stepped_push=True/False overrides
         self._stepped_bytes = 3 << 28
+        self._stepped_force = stepped_push
 
         def bucket_spmv(src, dst, mult, r, inv_cnt, contrib):
             # inv_cnt folded into the gather (src_w) so the weighted
@@ -330,6 +335,21 @@ class StagedForaPrograms:
                 gather_dtype=gather_dtype, edge_w=mult, src_w=inv_cnt)
 
         self._bucket = jax.jit(bucket_spmv, donate_argnums=(5,))
+
+        def bucket_spmv_cols(src, dst, mult, r, inv_cnt, contrib, c0, w):
+            # half-walk variant: gather only columns [c0, c0+w) of each r
+            # row (one narrowed XLA gather — never a 2.1 GB column-sliced
+            # operand copy) into the [n, w] accumulator.  Lets the walk
+            # SpMV + accept run at half width while the push runs the
+            # full block — the piece that makes a single 256-wide block
+            # fit judged-scale HBM (the [n, 256] f32 walk accumulator
+            # alongside p and r was 17.3 GB; scripts/hbm_audit.py).
+            return push_ops.gather_scatter_add(
+                contrib, r, src, dst, max_chunk=gather_chunk,
+                edge_w=mult, src_w=inv_cnt, col=(c0, w))
+
+        self._bucket_cols = jax.jit(bucket_spmv_cols, donate_argnums=(5,),
+                                    static_argnums=(6, 7))
         self._buckets = []          # [(src, dst, mult-or-None)] per bucket q
         for q in range(ib.NUM_BUCKETS):
             lo = int(index.bucket_offsets[q])
@@ -365,7 +385,9 @@ class StagedForaPrograms:
 
     def _push_segmented(self, p0, r0, rmax, thr):
         n, B = r0.shape
-        if thr is not None and n * B * 4 >= self._stepped_bytes:
+        use_stepped = (self._stepped_force if self._stepped_force is not None
+                       else n * B * 4 >= self._stepped_bytes)
+        if thr is not None and use_stepped:
             return self._push_stepped(p0, r0, thr)
         st = push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32))
         seg = self._segment_iters(r0.shape[1])
@@ -453,6 +475,20 @@ class StagedForaPrograms:
                 continue
             src, dst, mult = self._buckets[q]
             contrib = self._bucket(src, dst, mult, r, inv, contrib)
+        return contrib
+
+    def walk_contrib_cols(self, r, index_depth: int, c0: int, w: int):
+        """walk_contrib for query columns [c0, c0+w) only — [n, w]
+        accumulator, column-windowed gathers (see bucket_spmv_cols)."""
+        from ..index import build as ib
+        inv = self._inv_cnt(index_depth)
+        contrib = jnp.zeros((r.shape[0], w), r.dtype)
+        for q in range(index_depth, ib.NUM_BUCKETS):
+            if self._buckets[q] is None:
+                continue
+            src, dst, mult = self._buckets[q]
+            contrib = self._bucket_cols(src, dst, mult, r, inv, contrib,
+                                        c0, w)
         return contrib
 
     def lean_state_fn(self, index_depth: int):

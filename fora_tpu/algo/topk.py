@@ -95,7 +95,8 @@ class TopkRunner:
                  index=None, delta_stride: float = 2.0,
                  accept_slack: float = 1.0, gather_dtype=None,
                  gather_chunk: int = 1 << 23, bound_accept: bool = True,
-                 push_pair: bool = False):
+                 push_pair: bool = False, stepped_push=None,
+                 walk_half: bool = False):
         """accept_slack > 1 tightens the threshold stopping rule (accept
         only when kth_ppr >= accept_slack * (1+eps) * delta): one level
         deeper on borderline queries, better final precision at extra cost.
@@ -114,8 +115,17 @@ class TopkRunner:
         push supersteps gather at the concatenated width — the row-rate-
         bound gather serves two blocks per gathered row (~2x push
         throughput) while per-block state and the walk/accept phases stay
-        at the width that fits HBM (gather_scatter_add_pair;
-        round-5 answer to the judged-scale B=128 memory wall)."""
+        at the width that fits HBM (gather_scatter_add_pair).  Measured
+        on v5e: loses to a single wide block with walk_half (the paired
+        superstep costs ~40%% more than the single-block split step) —
+        kept as an alternative.
+
+        walk_half (indexed mode only): run the walk SpMV + accept in TWO
+        column halves per block (column-windowed gathers, [n, B/2] f32
+        accumulator) while push runs the full block width — the piece
+        that lets a single 256-wide block fit judged-scale HBM
+        (round-5 answer to the B=128 memory wall; blocks narrower than
+        256 take the normal path)."""
         from . import bounds as bounds_mod
         self.graph = graph
         self.gather_dtype = gather_dtype
@@ -146,7 +156,12 @@ class TopkRunner:
         self._lsteps = {}
         self._psteps = {}
         self.push_pair = bool(push_pair) and index is not None
+        self.walk_half = bool(walk_half) and index is not None
+        self._stepped_push = stepped_push
         self._staged = None
+        self._accept_split_cols = (
+            bounds_mod.make_topk_bounds_split_cols_fn(
+                self.k, _t, rcfg.epsilon) if self.walk_half else None)
         self._max_lanes = max_lanes
         self._index = index
         # per level: (compile key, rmax, omega_unit); the compile key is the
@@ -215,7 +230,8 @@ class TopkRunner:
                     self._staged = fora.StagedForaPrograms(
                         self.graph, self.rcfg, self._index,
                         gather_dtype=self.gather_dtype,
-                        gather_chunk=self.gather_chunk)
+                        gather_chunk=self.gather_chunk,
+                        stepped_push=self._stepped_push)
                 self._sfns[key] = self._staged.state_fn(key)
             else:
                 self._sfns[key] = fora.make_fora_state_fn(
@@ -246,10 +262,29 @@ class TopkRunner:
                 # and the split accept ranks p + contrib per slab — the
                 # [n, B] ppr buffer of the old composition never exists
                 self._state_fn(ckey)   # ensures self._staged
-                lean = self._staged.lean_state_fn(ckey)
+                staged = self._staged
+                lean = staged.lean_state_fn(ckey)
 
                 def fn(p, r, key, rmax, omega_unit):
                     del key  # indexed mode is deterministic
+                    B = r.shape[1]
+                    if self.walk_half and B >= 256 and B % 2 == 0:
+                        # wide block: full-width push, column-halved walk
+                        # SpMV + accept (see walk_half docstring)
+                        thr = staged.coverage_thr(ckey, omega_unit)
+                        st = staged._push_segmented(p, r, rmax, thr)
+                        outs = []
+                        w = B // 2
+                        for c0 in (0, w):
+                            contrib = staged.walk_contrib_cols(
+                                st.r, ckey, c0, w)
+                            vals, idx, lb, ub, _, _, bacc = \
+                                self._accept_split_cols(
+                                    st.p, contrib, omega_unit, c0, w)
+                            outs.append((vals, idx, lb, ub, bacc))
+                        cat = [jnp.concatenate([o[i] for o in outs],
+                                               axis=0) for i in range(5)]
+                        return (*cat, st.p, st.r)
                     p2, r2, contrib, _ = lean(p, r, rmax, omega_unit)
                     vals, idx, lb, ub, _, _, bacc = self._accept_split(
                         p2, contrib, omega_unit)

@@ -337,6 +337,27 @@ def dedup_index(index: WalkIndex) -> WalkIndex:
                           edge_mult=jnp.asarray(mult))
 
 
+def _bucket_per_entry(counts, offsets, cut, total, src32):
+    """Per-entry bucket, vectorized: entries of a node are laid out
+    j-ascending, so bucket starts at NUM_BUCKETS-1 and drops by one at
+    each within-node boundary off_v + cut[v, q] (cutoffs strictly inside
+    the pool).  One bincount of boundary positions + one global prefix
+    sum, rebased per node."""
+    if not total:
+        return np.empty(0, np.int64)
+    pos = [offsets[sel] + cut[sel, q]
+           for q in range(1, NUM_BUCKETS)
+           for sel in (cut[:, q] < counts,)]
+    dec = np.bincount(np.concatenate(pos) if pos else
+                      np.empty(0, np.int64), minlength=total)
+    dinc = np.cumsum(dec, dtype=np.int64)
+    # trailing zero-count nodes have offsets == total; their base is
+    # never read (src32 only covers nodes with entries) — clip
+    off_c = np.minimum(offsets, total - 1)
+    base = dinc[off_c] - dec[off_c]
+    return (NUM_BUCKETS - 1) - (dinc - base[src32])
+
+
 def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
                rcfg: ResolvedConfig, dedup: bool = True) -> WalkIndex:
     """Host-side packing of raw pools into the bucketed layout.
@@ -375,35 +396,44 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
         counts_cum[dang] += 1
     counts_cum = np.ascontiguousarray(counts_cum)
 
-    # bucket per edge, vectorized without per-edge cutoff math: entries
-    # of a node are laid out j-ascending, so bucket starts at Q-1 and
-    # drops by one at each within-node boundary position off_v + cut_q
-    # (for cutoffs strictly inside the pool).  One bincount of all
-    # boundary positions + one global prefix sum, rebased per node.
     nd = len(dang)
-    src32 = np.repeat(np.arange(n, dtype=np.int32), counts)
-    if total:
-        pos = [offsets[sel] + cut[sel, q]
-               for q in range(1, NUM_BUCKETS)
-               for sel in (cut[:, q] < counts,)]
-        dec = np.bincount(np.concatenate(pos) if pos else
-                          np.empty(0, np.int64), minlength=total)
-        dinc = np.cumsum(dec, dtype=np.int64)
-        base = dinc[offsets] - dec[offsets]
-        bucket = (NUM_BUCKETS - 1) - (dinc - base[src32])
-        del dec, dinc, base
-    else:
-        bucket = np.empty(0, np.int64)
-
     nb = max(int(n - 1).bit_length(), 1)
     mult = None
-    if dedup and 2 * nb + 4 <= 63:
-        # fast path (the host-side build bottleneck at scale): ONE sort
-        # of a packed (bucket, dst, src) int64 key replaces the
-        # (dst, bucket) lexsort + the merge's (src, dst, bucket) lexsort.
-        # Unstable sort is fine: equal keys are identical rows.  Output is
-        # (bucket, dst, src)-sorted — bit-identical to the legacy
-        # two-lexsort pipeline's merged result.
+    from .. import _native
+    use_native = (dedup and 2 * nb + 4 <= 63
+                  and _native.native_sort_unique_u64 is not None
+                  and _native.native_pack_keys is not None
+                  and total + nd > 0)
+    if use_native:
+        # fully native fast path (the host-side build bottleneck at
+        # scale): ONE parallel pass writes every entry's packed
+        # (bucket, dst, src) key (bucket via a per-node descending
+        # cutoff pointer), a parallel radix sort + run-length merge
+        # orders and dedups, one more pass unpacks — replacing a numpy
+        # chain (argsort + per-edge prefix sums + int64 shift/mask
+        # passes) measured at 134 s for 208M entries on this 2-core host
+        # (13.6 s sort + ~60 s of [E]-sized int64 temporaries).
+        # Bit-identical to the legacy two-lexsort pipeline: sorted order
+        # of a key multiset and its run-length merge are
+        # algorithm-independent.
+        key = np.empty(total + nd, dtype=np.uint64)
+        ep32 = np.ascontiguousarray(endpoints, dtype=np.int32)
+        _native.native_pack_keys(offsets, counts, cut, ep32, nb,
+                                 key[:total])
+        key[total:] = (((np.uint64(NUM_BUCKETS - 1)) << np.uint64(2 * nb))
+                       | (dang.astype(np.uint64) << np.uint64(nb))
+                       | dang.astype(np.uint64))
+        ukeys, mult = _native.native_sort_unique_u64(
+            key, key_bits=2 * nb + 4)
+        src, dst, bucket = _native.native_unpack_keys(ukeys, nb)
+        bucket_sizes = np.bincount(bucket, minlength=NUM_BUCKETS)
+        bucket_offsets = np.zeros(NUM_BUCKETS + 1, dtype=np.int64)
+        np.cumsum(bucket_sizes, out=bucket_offsets[1:])
+    elif dedup and 2 * nb + 4 <= 63:
+        # numpy fast path (native lib unavailable): same packed-key
+        # pipeline, one np.sort + run-length merge
+        src32 = np.repeat(np.arange(n, dtype=np.int32), counts)
+        bucket = _bucket_per_entry(counts, offsets, cut, total, src32)
         key = np.empty(total + nd, dtype=np.int64)
         km = key[:total]
         np.left_shift(bucket, 2 * nb, out=km)
@@ -412,25 +442,14 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
         key[total:] = ((np.int64(NUM_BUCKETS - 1) << (2 * nb))
                        | (dang << nb) | dang)
         del bucket, src32
-        from .. import _native
-        if _native.native_sort_unique_u64 is not None and len(key):
-            # parallel radix sort + in-pass duplicate merge
-            # (_native/radix_sort.cpp): 13 s vs 170 s numpy argsort at
-            # 190M keys (round-4's sort bottleneck), bit-identical —
-            # sorted order of a key multiset and its run-length merge are
-            # algorithm-independent.
-            ukeys, mult = _native.native_sort_unique_u64(
-                key, key_bits=2 * nb + 4)
-            key = ukeys.view(np.int64)
-        else:
-            key = np.sort(key)
-            first = np.empty(len(key), dtype=bool)
-            if len(key):
-                first[0] = True
-                first[1:] = key[1:] != key[:-1]
-            group = np.cumsum(first) - 1
-            mult = np.bincount(group).astype(np.float32)
-            key = key[first]
+        key = np.sort(key)
+        first = np.empty(len(key), dtype=bool)
+        if len(key):
+            first[0] = True
+            first[1:] = key[1:] != key[:-1]
+        group = np.cumsum(first) - 1
+        mult = np.bincount(group).astype(np.float32)
+        key = key[first]
         src = key & ((1 << nb) - 1)
         dst = (key >> nb) & ((1 << nb) - 1)
         bucket = (key >> (2 * nb)).astype(np.int8)
@@ -439,6 +458,8 @@ def pack_index(endpoints: np.ndarray, counts: np.ndarray, out_deg: np.ndarray,
         np.cumsum(bucket_sizes, out=bucket_offsets[1:])
     else:
         # legacy path: (bucket, dst) sort, optional merge
+        src32 = np.repeat(np.arange(n, dtype=np.int32), counts)
+        bucket = _bucket_per_entry(counts, offsets, cut, total, src32)
         src = np.concatenate([src32.astype(np.int64), dang])
         dst = np.concatenate([endpoints.astype(np.int64), dang])
         bucket = np.concatenate([bucket,

@@ -47,7 +47,7 @@ def init_state(n: int, sources: jnp.ndarray) -> PushState:
                      iters=jnp.zeros((), jnp.int32))
 
 
-def _gather_narrow(values, s, out_dtype):
+def _gather_narrow(values, s, out_dtype, col=None):
     """Gather rows of ``values`` at ``s`` and widen to ``out_dtype``, with
     the widening PINNED after the gather.
 
@@ -62,8 +62,14 @@ def _gather_narrow(values, s, out_dtype):
     the one fence the simplifier cannot cross; it costs materializing the
     narrow [chunk, B] gather result, which the scatter/segment consumer
     needed anyway.
+
+    ``col`` ((c0, w), optional): gather only columns [c0, c0+w) of each
+    row — one XLA gather with narrowed slice sizes, never a column-sliced
+    COPY of the operand (at LiveJournal scale B=256 that copy is 2.1 GB;
+    the half-walk path relies on this).
     """
-    vals = values[s]
+    vals = values[s, col[0]:col[0] + col[1]] if col is not None \
+        else values[s]
     if values.dtype != out_dtype:
         vals = jax.lax.optimization_barrier(vals)
         vals = vals.astype(out_dtype)
@@ -147,7 +153,8 @@ def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
                        max_chunk: int = 1 << 23,
                        gather_dtype=None,
                        edge_w: jnp.ndarray = None,
-                       src_w: jnp.ndarray = None) -> jnp.ndarray:
+                       src_w: jnp.ndarray = None,
+                       col=None) -> jnp.ndarray:
     """acc[t] += sum over edges e with dst[e]==t of (scaled) values[src[e]],
     scatter-added into the caller's accumulator.
 
@@ -163,7 +170,9 @@ def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
     Chunk-padding entries carry ``dst = acc.shape[0]`` — out of range, so
     the scatter's drop mode discards them; no padded row, no [n+1, B]
     copy.  Scale semantics (``gather_dtype``/``edge_w``/``src_w``) match
-    gather_segment_sum exactly.
+    gather_segment_sum exactly.  ``col`` ((c0, w), optional): gather only
+    that column window of each ``values`` row (half-walk mode; see
+    _gather_narrow) — ``acc`` is then [n, w].
     """
     E = src.shape[0]
     n = acc.shape[0]
@@ -172,7 +181,7 @@ def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
         values = values.astype(gather_dtype)
 
     def add_chunk(a, s, d, w):
-        vals = _gather_narrow(values, s, out_dtype)
+        vals = _gather_narrow(values, s, out_dtype, col=col)
         if src_w is not None:
             vals = vals * src_w[s][:, None]
         if w is not None:

@@ -28,7 +28,8 @@ def local_topk_candidates(ppr_shard: jnp.ndarray, k: int, row_offset: jnp.ndarra
 
 
 def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
-                      chunk: int = 1 << 19, addend: jnp.ndarray = None):
+                      chunk: int = 1 << 19, addend: jnp.ndarray = None,
+                      cols=None):
     """Node-chunked top-k over a node-major [n, B] estimate.
 
     ``lax.top_k(ppr.T, k)`` materializes the full [B, n] transpose plus
@@ -43,25 +44,37 @@ def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
     (e.g. the settled push mass p for the confidence bounds) — gathered
     per slab, so their [B, n] transposes are never built either.
 
-    ``addend`` (optional [n, B]): ranking proceeds over
-    ``ppr + addend``, summed PER SLAB — so a split estimate
+    ``addend`` (optional [n, B] — or [n, w] under ``cols``): ranking
+    proceeds over ``ppr + addend``, summed PER SLAB — so a split estimate
     (settled mass p + walk contrib) is ranked without ever materializing
     the full [n, B] sum (4.3 GB at LiveJournal scale B=256; see
     bounds.make_topk_bounds_split_fn).
 
-    Returns (vals [B, k] desc, global row ids [B, k], *extra_at [B, k]).
+    ``cols`` ((c0, w), optional): rank only query columns [c0, c0+w) of
+    ``ppr``/``extra`` (the half-walk path: addend is the [n, w]
+    half-width walk accumulator).  Column windows are sliced per slab
+    inside the fused scoring, so no column-sliced copy of the full
+    arrays exists.
+
+    Returns (vals [B, k] desc, global row ids [B, k], *extra_at [B, k]);
+    B is the column-window width under ``cols``.
     """
     n = ppr.shape[0]
+    c0, cw = cols if cols is not None else (0, ppr.shape[1])
+
+    def win(a, lo, hi):
+        return a[lo:hi, c0:c0 + cw] if cols is not None else a[lo:hi]
 
     def scored(lo, hi):
-        s = ppr[lo:hi]
+        s = win(ppr, lo, hi)
         if addend is not None:
             s = s + addend[lo:hi].astype(s.dtype)
         return s
 
     if n <= chunk:
         vals, idx = jax.lax.top_k(scored(0, n).T, min(k, n))
-        outs = [jnp.take_along_axis(e.T, idx, axis=1) for e in extra]
+        outs = [jnp.take_along_axis(win(e, 0, n).T, idx, axis=1)
+                for e in extra]
         return (vals, idx, *outs)
     kk = min(k, chunk)
     # full slabs run under lax.scan: a statically unrolled slab loop lets
@@ -73,7 +86,7 @@ def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
     n_full = n_slabs * chunk
 
     def body(_, xs):
-        p_s = xs[0]
+        p_s = xs[0][:, c0:c0 + cw] if cols is not None else xs[0]
         off = xs[1]
         pos = 2
         if addend is not None:
@@ -82,7 +95,9 @@ def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
         else:
             s = p_s
         v, i = jax.lax.top_k(s.T, kk)
-        outs = tuple(jnp.take_along_axis(e.T, i, axis=1) for e in xs[pos:])
+        outs = tuple(jnp.take_along_axis(
+            (e[:, c0:c0 + cw] if cols is not None else e).T, i, axis=1)
+            for e in xs[pos:])
         return None, (v, i + off, *outs)
 
     xs = [ppr[:n_full].reshape(n_slabs, chunk, -1),
@@ -101,7 +116,8 @@ def topk_rows_chunked(ppr: jnp.ndarray, k: int, *extra,
         cand_v.append(v)
         cand_i.append(i + n_full)
         for j, e in enumerate(extra):
-            cand_e[j].append(jnp.take_along_axis(e[n_full:].T, i, axis=1))
+            cand_e[j].append(jnp.take_along_axis(win(e, n_full, n).T, i,
+                                                 axis=1))
     cv = jnp.concatenate(cand_v, axis=1)          # [B, ~n_slabs * kk]
     ci = jnp.concatenate(cand_i, axis=1)
     vals, sel = jax.lax.top_k(cv, k)

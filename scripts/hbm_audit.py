@@ -210,6 +210,22 @@ def audit(B):
         sds((N, B), f32), sds((N,), f32), sds((N, B), f32))
     peak = max(peak, report("bucket0", blow.compile()))
 
+    # 2b. half-walk bucket SpMV: column-windowed gather from the full-
+    # width residue into a half-width accumulator (the piece that lets a
+    # single 256-wide block fit; walk_contrib_cols)
+    if B % 2 == 0:
+        w = B // 2
+
+        def bucket_cols(src, dst, mult, r, inv_cnt, contrib):
+            return push_ops.gather_scatter_add(
+                contrib, r, src, dst, max_chunk=GATHER_CHUNK,
+                edge_w=mult, src_w=inv_cnt, col=(0, w))
+
+        clow = tjit(bucket_cols, donate=(5,)).lower(
+            sds((E0,), i32), sds((E0,), i32), sds((E0,), f32),
+            sds((N, B), f32), sds((N,), f32), sds((N, w), f32))
+        peak = max(peak, report("bucket0_cols", clow.compile()))
+
     # 3. the split accept (p, contrib) -> topk+bounds, contrib donated
     from fora_tpu.algo import bounds
     import functools as _ft
@@ -217,6 +233,15 @@ def audit(B):
                            eps=0.5), donate=(1,))
     alow = acc.lower(sds((N, B), f32), sds((N, B), f32), sds((), f32))
     peak = max(peak, report("accept", alow.compile()))
+
+    # 3b. half-walk accept: p full-width, contrib half, column window
+    if B % 2 == 0:
+        w = B // 2
+        acc2 = tjit(_ft.partial(bounds._topk_with_bounds_split, k=50,
+                                t=38.0, eps=0.5, cols=(0, w)), donate=(1,))
+        alow2 = acc2.lower(sds((N, B), f32), sds((N, w), f32),
+                           sds((), f32))
+        peak = max(peak, report("accept_cols", alow2.compile()))
 
     # resident outside the program: graph+index arrays + the pool state
     resident = (4 * (N + 1) + 4 * (M_TAIL + M_HUB)      # indptr+indices

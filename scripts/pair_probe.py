@@ -51,8 +51,7 @@ def main():
     cd = jnp.bfloat16 if args.bf16 else jnp.float32
 
     def timeit(tag, fn, *xs):
-        fn(*xs)             # compile+warm
-        fence()
+        fence(fn(*xs))      # compile+warm, fenced
         ts = []
         for _ in range(args.reps):
             t0 = time.time()
@@ -97,23 +96,37 @@ def main():
 
     staged = StagedForaPrograms(dg, rcfg, _FakeIndex(), gather_dtype=gd,
                                 gather_chunk=chunk)
+
+    def timeit_chain(tag, step, st, k=6):
+        # the split/pair steps DONATE their state — chain k steps, state
+        # threaded through, fence once; report per-step time
+        st = step(st)                     # compile+warm
+        fence(st)
+        t0 = time.time()
+        for _ in range(k):
+            st = step(st)
+        fence(st)
+        dt = (time.time() - t0) / k
+        print(f"{tag}: {dt*1e3:.1f} ms/step (chained x{k})", flush=True)
+        return dt
+
     for B in (128, 192, 256):
-        p, r = state(B)
-        def split_step(p, r):
+        def split_step(st):
+            p, r = st
             p2, contrib = staged._step_a(dg, p, r, thr)
             r2, cont = staged._step_b(dg, r, contrib, thr)
-            return p2, r2, cont
-        t = timeit(f"splitAB B={B}", split_step, p, r)
+            return p2, r2
+        timeit_chain(f"splitAB B={B}", split_step, state(B))
 
-    pA, rA = state(128)
-    pB, rB = state(128)
-
-    def pair_step(pA, pB, rA, rB):
+    def pair_step(st):
+        pA, pB, rA, rB = st
         pA2, pB2, contrib = staged._step_a_pair(dg, pA, pB, rA, rB, thr)
         rA2, rB2, cont = staged._step_b_pair(dg, rA, rB, contrib, thr)
         return pA2, pB2, rA2, rB2
 
-    timeit("pair w=128 (gather@256)", pair_step, pA, pB, rA, rB)
+    pA, rA = state(128)
+    pB, rB = state(128)
+    timeit_chain("pair w=128 (gather@256)", pair_step, (pA, pB, rA, rB))
 
     # d. isolates: gather+scatter_add only (no p update)
     for B in (128, 192, 256):

@@ -318,3 +318,31 @@ def test_topk_pool_push_pair_odd_blocks():
         sources, key, batch=6, start_level=0)
     np.testing.assert_array_equal(paired.node_ids, base.node_ids)
     np.testing.assert_array_equal(paired.accepted, base.accepted)
+
+
+def test_topk_pool_walk_half_matches_full():
+    """walk_half runs the walk SpMV + accept in two column halves with
+    column-windowed gathers; same edges, same f32 accumulation per
+    column — results must match the full-width path exactly (ids,
+    acceptance) with values equal to round-off."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    sources = np.arange(256) % g.n
+    key = jax.random.key(9)
+
+    base = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx).query_pool(
+        sources, key, batch=256, start_level=0)
+    halved_runner = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx,
+                                         walk_half=True)
+    assert halved_runner.walk_half
+    halved = halved_runner.query_pool(sources, key, batch=256,
+                                      start_level=0)
+    np.testing.assert_array_equal(halved.node_ids, base.node_ids)
+    np.testing.assert_allclose(halved.values, base.values,
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_array_equal(halved.accepted, base.accepted)
+    np.testing.assert_allclose(halved.lower_bounds, base.lower_bounds,
+                               rtol=1e-5)
