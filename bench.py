@@ -288,6 +288,12 @@ def main():
             log(f"index built in {time.time()-t0:.1f}s "
                 f"({index.total_edges} edges)")
 
+    if USE_INDEX and index is not None:
+        # indexed queries never touch the walk-side out-CSR; at judged
+        # scale those 0.27 GB matter to the [n, 256] walk accumulator's
+        # budget (out_indptr stays — it defines n)
+        dg = dg._replace(out_indices=jnp.zeros((1,), jnp.int32))
+
     gdtype = jnp.bfloat16 if env_int("FORA_BENCH_BF16", 0) else None
     stepped = {-1: None, 0: False, 1: True}[env_int("FORA_BENCH_STEPPED", -1)]
     runner = topk_algo.TopkRunner(dg, rcfg, k=K, index=index,

@@ -112,20 +112,24 @@ class TopkRunner:
         to run wider query batches in fixed HBM (see forward_push_from).
 
         push_pair (indexed mode only): process pool blocks in PAIRS whose
-        push supersteps gather at the concatenated width — the row-rate-
-        bound gather serves two blocks per gathered row (~2x push
-        throughput) while per-block state and the walk/accept phases stay
-        at the width that fits HBM (gather_scatter_add_pair).  Measured
-        on v5e: loses to a single wide block with walk_half (the paired
-        superstep costs ~40%% more than the single-block split step) —
-        kept as an alternative.
+        push supersteps gather at the concatenated width while per-block
+        state stays at the block width (gather_scatter_add_pair).
+        MEASURED on v5e (scripts/pair_probe.py, chained+fenced): the
+        paired superstep costs 228 ms(bf16) where a SINGLE 256-wide
+        block's split superstep costs 164 ms — a single wide block with
+        the stepped push beats pairing outright; kept as an opt-in
+        alternative with exactness tests.
 
         walk_half (indexed mode only): run the walk SpMV + accept in TWO
-        column halves per block (column-windowed gathers, [n, B/2] f32
-        accumulator) while push runs the full block width — the piece
-        that lets a single 256-wide block fit judged-scale HBM
-        (round-5 answer to the B=128 memory wall; blocks narrower than
-        256 take the normal path)."""
+        column halves per block (column-WINDOWED gathers, [n, B/2] f32
+        accumulator) while push runs the full block width.  MEASURED
+        RETIRED on v5e: the column-windowed gather (slice_sizes (1, w)
+        from a 2w-wide operand) runs ~30x slower than full-row gathers —
+        misaligned with the (8, 128) tiled layout — turning 2.5 s pools
+        into 31.5 s (bench scale, bench_r5_c19wh vs bench_r5_c19).  Kept
+        as an opt-in with exactness tests; the production judged-scale
+        config runs the FULL-width walk instead and frees the walk-side
+        out-CSR (see bench.py) to fit."""
         from . import bounds as bounds_mod
         self.graph = graph
         self.gather_dtype = gather_dtype
