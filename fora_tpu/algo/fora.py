@@ -238,7 +238,18 @@ class StagedForaPrograms:
         #   B (donate r):        r  = masked residue, scatter-added from
         #                        contrib in place; convergence flag out
         # One host poll (~10 ms) per ~1 s superstep at that scale.
-        def step_a(g, p, r, thr):
+        # contrib is THREADED through the stepped loop as a donated
+        # buffer (step_a writes into the previous iteration's, step_b
+        # only reads): with the lagged convergence polls up to three
+        # steps are enqueued before the first executes, and since PJRT
+        # allocates non-aliased outputs at enqueue, a fresh contrib per
+        # step briefly held THREE [n, B] contrib generations — the
+        # runtime RESOURCE_EXHAUSTED that killed the first judged B=256
+        # run despite per-program audited fits (bench_r5_judgedC attempt
+        # 1).  The single device stream executes FIFO, so step_a(i+1)'s
+        # in-place write cannot precede step_b(i)'s read.
+        def step_a(g, p, r, thr, contrib_buf):
+            del contrib_buf  # donated slot: output aliases it
             deg = g.out_deg.astype(jnp.float32)[:, None]
             dangling = deg == 0.0
             active = r > thr[:, None]
@@ -263,8 +274,10 @@ class StagedForaPrograms:
                     max_chunk=gather_chunk, edge_w=g.hub_w)
             return r, jnp.any(r > thr[:, None])
 
-        self._step_a = jax.jit(step_a, donate_argnums=(1,))
-        self._step_b = jax.jit(step_b, donate_argnums=(1, 2))
+        self._step_a = jax.jit(step_a, donate_argnums=(1, 4))
+        self._step_b = jax.jit(step_b, donate_argnums=(1,))
+        self._contrib_dtype = (gather_dtype if gather_dtype is not None
+                               else jnp.float32)
 
         # PAIRED superstep (push_pair_stepped): the gather runs at the
         # concatenated width of TWO query blocks (row-rate-bound: two
@@ -444,8 +457,10 @@ class StagedForaPrograms:
         import numpy as np
         iters = 0
         pending = collections.deque()
+        # single contrib slot threaded through every step (see _step_a)
+        contrib = jnp.zeros(r.shape, self._contrib_dtype)
         while iters < self.rcfg.max_push_iters:
-            p, contrib = self._step_a(self.graph, p, r, thr)
+            p, contrib = self._step_a(self.graph, p, r, thr, contrib)
             r, cont = self._step_b(self.graph, r, contrib, thr)
             pending.append(cont)
             iters += 1

@@ -346,3 +346,26 @@ def test_topk_pool_walk_half_matches_full():
     np.testing.assert_array_equal(halved.accepted, base.accepted)
     np.testing.assert_allclose(halved.lower_bounds, base.lower_bounds,
                                rtol=1e-5)
+
+
+def test_topk_pool_stepped_push_matches_while_loop():
+    """stepped_push=True (the judged-scale host-stepped split superstep,
+    with its threaded contrib slot and lagged convergence polls) must
+    reproduce the while-loop path exactly: same scatter-added sums in the
+    same order, one superstep per iteration."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    sources = np.arange(24)
+    key = jax.random.key(9)
+    base = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx,
+                                stepped_push=False).query_pool(
+        sources, key, batch=8, start_level=0)
+    stepped = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx,
+                                   stepped_push=True).query_pool(
+        sources, key, batch=8, start_level=0)
+    np.testing.assert_array_equal(stepped.node_ids, base.node_ids)
+    np.testing.assert_allclose(stepped.values, base.values, rtol=1e-6)
+    np.testing.assert_array_equal(stepped.accepted, base.accepted)
