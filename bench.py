@@ -270,7 +270,7 @@ def main():
         idx_dir = CACHE / (f"{TAG}.idx.e{EPS}" +
                            (f".rs{RMAXS:g}" if RMAXS != 1 else ""))
         if (idx_dir / "meta.json").exists():
-            index = widx.load(str(idx_dir), rcfg, graph=g)
+            index = widx.load(str(idx_dir), rcfg, graph=g, mmap=True)
         else:
             import shutil
             log("building FORA+ walk index ...")

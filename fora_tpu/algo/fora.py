@@ -349,6 +349,16 @@ class StagedForaPrograms:
 
         self._bucket = jax.jit(bucket_spmv, donate_argnums=(5,))
 
+        def _dev(a):
+            # numpy/mmap-backed index (store.load(mmap=True)): ONE device
+            # transfer per slice here; device-backed index: slice on
+            # device (NB the monolithic originals then stay resident too
+            # — prefer mmap loads at scale, see store.load)
+            import numpy as np
+            return None if a is None else (
+                a if isinstance(a, jnp.ndarray) else
+                jax.device_put(np.ascontiguousarray(a)))
+
         def bucket_spmv_cols(src, dst, mult, r, inv_cnt, contrib, c0, w):
             # half-walk variant: gather only columns [c0, c0+w) of each r
             # row (one narrowed XLA gather — never a 2.1 GB column-sliced
@@ -367,11 +377,16 @@ class StagedForaPrograms:
         for q in range(ib.NUM_BUCKETS):
             lo = int(index.bucket_offsets[q])
             hi = int(index.bucket_offsets[q + 1])
-            mult = (index.edge_mult[lo:hi]
+            mult = (_dev(index.edge_mult[lo:hi])
                     if index.edge_mult is not None else None)
             self._buckets.append(
-                (index.edge_src[lo:hi], index.edge_dst[lo:hi], mult)
+                (_dev(index.edge_src[lo:hi]), _dev(index.edge_dst[lo:hi]),
+                 mult)
                 if hi > lo else None)
+        # counts_cum is consumed column-wise per depth as a jit argument —
+        # cache it on device once (an mmap-backed column would otherwise
+        # re-transfer per level call)
+        self._counts_dev = _dev(self.index.counts_cum)
 
         def finish(p, contrib, r, iters):
             zero = jnp.zeros(r.shape[1], jnp.int32)
@@ -384,7 +399,7 @@ class StagedForaPrograms:
 
     def _inv_cnt(self, depth: int):
         if depth not in self._inv:
-            cc = jnp.asarray(self.index.counts_cum[:, depth])
+            cc = self._counts_dev[:, depth]
             self._inv[depth] = 1.0 / jnp.maximum(cc, 1).astype(jnp.float32)
         return self._inv[depth]
 
@@ -475,7 +490,7 @@ class StagedForaPrograms:
         exactly counts_col samples at this depth — so push may stop at
         r_v <= count_v/omega_unit, never tighter than rmax*deg_v and much
         looser on low-degree tail rows."""
-        counts_col = self.index.counts_cum[:, index_depth]
+        counts_col = self._counts_dev[:, index_depth]
         return counts_col.astype(jnp.float32) / jnp.float32(omega_unit)
 
     def walk_contrib(self, r, index_depth: int):

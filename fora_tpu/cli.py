@@ -111,7 +111,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "0 disables)")
     p.add_argument("--bf16-gather", action="store_true",
                    help="bf16 hot-path gathers (half bandwidth, ~0.4%% "
-                        "per-contribution error)")
+                        "per-contribution error; the lever that makes "
+                        "wide query blocks pay — f32 gathers go "
+                        "byte-bound above width 128)")
+    p.add_argument("--gather-chunk", type=int, default=21,
+                   help="log2 edges per gather chunk (peak memory is the "
+                        "[chunk, B] intermediate; 19 for judged-scale "
+                        "wide batches)")
+    p.add_argument("--push-pair", action="store_true",
+                   help="paired-block push (opt-in alternative; a single "
+                        "wide block measured faster — see TopkRunner)")
+    p.add_argument("--stepped-push", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="host-stepped split superstep (auto: by state "
+                        "size; the mode wide judged-scale blocks need)")
     p.add_argument("--graph-shards", type=int, default=1,
                    help="row-shard the graph (+ index) over this many "
                         "devices on the mesh 'graph' axis; batch-topk and "
@@ -164,7 +177,11 @@ def _make_topk_runner(args, g, dg, rcfg, idx):
             dg, rcfg, k=args.k, index=idx,
             delta_stride=args.delta_stride,
             accept_slack=args.accept_slack,
-            gather_dtype=jnp.bfloat16 if args.bf16_gather else None)
+            gather_dtype=jnp.bfloat16 if args.bf16_gather else None,
+            gather_chunk=1 << args.gather_chunk,
+            push_pair=args.push_pair,
+            stepped_push={"auto": None, "on": True,
+                          "off": False}[args.stepped_push])
     from .parallel import ShardedTopkRunner, make_mesh
     if idx is None:
         raise ValueError("--graph-shards > 1 requires --with-idx (the "

@@ -92,24 +92,35 @@ def check_compatible(meta: dict, rcfg: ResolvedConfig,
 
 
 def load(path: str, rcfg: Optional[ResolvedConfig] = None,
-         dedup: bool = True, graph=None) -> WalkIndex:
+         dedup: bool = True, graph=None, mmap: bool = False) -> WalkIndex:
     """``dedup``: indexes saved before the duplicate-merge layout (no
     edge_mult.npy) are upgraded in memory on load — lossless, and strictly
-    cheaper to query (see build.py module docstring)."""
+    cheaper to query (see build.py module docstring).
+
+    ``mmap``: keep the edge arrays as host mmap views instead of device
+    arrays.  The staged query path (StagedForaPrograms) device_puts ONE
+    per-bucket slice each; with device-resident monolithic arrays those
+    slices are device COPIES while the originals stay referenced — a
+    duplicate ~2 GB of HBM at LiveJournal scale that pushed the B=256
+    judged config into RESOURCE_EXHAUSTED (round 5).  Use mmap=True for
+    any large-graph batch/serve engine; the default keeps small-graph
+    paths (CLI query, tests) device-resident as before."""
     from .build import dedup_index
     d = Path(path)
     meta = json.loads((d / "meta.json").read_text())
     if rcfg is not None:
         check_compatible(meta, rcfg, graph=graph)
     mult_f = d / "edge_mult.npy"
+    arr = ((lambda f: np.load(f, mmap_mode="r")) if mmap
+           else (lambda f: jnp.asarray(np.load(f))))
     idx = WalkIndex(
-        edge_src=jnp.asarray(np.load(d / "edge_src.npy")),
-        edge_dst=jnp.asarray(np.load(d / "edge_dst.npy")),
+        edge_src=arr(d / "edge_src.npy"),
+        edge_dst=arr(d / "edge_dst.npy"),
         bucket_offsets=np.asarray(meta["bucket_offsets"], dtype=np.int64),
-        counts_cum=jnp.asarray(np.load(d / "counts_cum.npy")),
+        counts_cum=arr(d / "counts_cum.npy"),
         omega_unit_built=meta["omega_unit"],
         rmax_built=meta["rmax"],
-        edge_mult=jnp.asarray(np.load(mult_f)) if mult_f.exists() else None,
+        edge_mult=arr(mult_f) if mult_f.exists() else None,
     )
     if dedup and idx.edge_mult is None:
         idx = dedup_index(idx)

@@ -57,12 +57,19 @@ def build_runner():
                               if bench.RMAXS != 1 else ""))
     if not (idx_dir / "meta.json").exists():
         raise SystemExit(f"no index at {idx_dir}; run bench.py first")
-    index = widx.load(str(idx_dir), rcfg, graph=g)
+    index = widx.load(str(idx_dir), rcfg, graph=g, mmap=True)
     gdtype = jnp.bfloat16 if bench.env_int("FORA_BENCH_BF16", 0) else None
+    if index is not None:
+        # indexed serving never touches the walk-side out-CSR (bench.py
+        # does the same at judged scale)
+        dg = dg._replace(out_indices=jnp.zeros((1,), jnp.int32))
+    stepped = {-1: None, 0: False,
+               1: True}[bench.env_int("FORA_BENCH_STEPPED", -1)]
     runner = topk_algo.TopkRunner(
         dg, rcfg, k=bench.K, index=index, delta_stride=bench.DSTRIDE,
         accept_slack=bench.ACCEPT, gather_dtype=gdtype,
-        gather_chunk=bench.CHUNK, push_pair=bool(bench.PAIR))
+        gather_chunk=bench.CHUNK, push_pair=bool(bench.PAIR),
+        stepped_push=stepped)
     stats_path = bench.CACHE / (f"{bench.TAG}.levelstats.e{bench.EPS}"
                                 f".k{bench.K}" +
                                 (f".rs{bench.RMAXS:g}"
