@@ -263,7 +263,8 @@ def main():
     rcfg = cfg.resolved(g.n, g.m)
     # RMAT emits ~5% parallel edges; merge them (losslessly, multiplicity
     # weights) so every push superstep gathers ~5% fewer rows
-    dg = to_device(g, merge_duplicate_edges=True, hub_rows=HUB)
+    dg = to_device(g, merge_duplicate_edges=True, hub_rows=HUB,
+                   pad_edges=CHUNK)
 
     index = None
     if USE_INDEX:
@@ -301,7 +302,9 @@ def main():
                                   gather_dtype=gdtype, gather_chunk=CHUNK,
                                   push_pair=bool(PAIR), stepped_push=stepped,
                                   walk_half=bool(
-                                      env_int("FORA_BENCH_WALKHALF", 0)))
+                                      env_int("FORA_BENCH_WALKHALF", 0)),
+                                  narrow_r=bool(
+                                      env_int("FORA_BENCH_NARROWR", 0)))
     key = jax.random.key(SEED + 2)
     pool_w = min(POOL, QUERIES)
     n_q = (QUERIES // pool_w) * pool_w

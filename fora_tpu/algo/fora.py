@@ -377,12 +377,24 @@ class StagedForaPrograms:
         for q in range(ib.NUM_BUCKETS):
             lo = int(index.bucket_offsets[q])
             hi = int(index.bucket_offsets[q + 1])
-            mult = (_dev(index.edge_mult[lo:hi])
+            if hi <= lo:
+                self._buckets.append(None)
+                continue
+            src = index.edge_src[lo:hi]
+            dst = index.edge_dst[lo:hi]
+            mult = (index.edge_mult[lo:hi]
                     if index.edge_mult is not None else None)
-            self._buckets.append(
-                (_dev(index.edge_src[lo:hi]), _dev(index.edge_dst[lo:hi]),
-                 mult)
-                if hi > lo else None)
+            if not isinstance(src, jnp.ndarray):
+                # numpy/mmap-backed: pre-pad to the chunk multiple so the
+                # chunked SpMV reshapes for free — the in-program pad
+                # copies were ~1.4 GB of temps per call on the largest
+                # judged bucket (push_ops._chunked_edges)
+                import numpy as np
+                src, dst, mult = push_ops.pad_edge_arrays(
+                    rcfg.n, gather_chunk, np.asarray(src),
+                    np.asarray(dst),
+                    None if mult is None else np.asarray(mult))
+            self._buckets.append((_dev(src), _dev(dst), _dev(mult)))
         # counts_cum is consumed column-wise per depth as a jit argument —
         # cache it on device once (an mmap-backed column would otherwise
         # re-transfer per level call)
@@ -499,7 +511,12 @@ class StagedForaPrograms:
         program per bucket shape, shared across levels/widths)."""
         from ..index import build as ib
         inv = self._inv_cnt(index_depth)
-        contrib = jnp.zeros_like(r)
+        # accumulate in f32 ALWAYS: hot destination nodes receive millions
+        # of index-edge contributions, and a narrow accumulator's
+        # per-add rounding compounds (bf16: ~eps*sqrt(M) relative error —
+        # garbage at M~1e6).  A bf16 r OPERAND is fine: each gathered
+        # value is rounded once, summed in f32 (narrow_r mode).
+        contrib = jnp.zeros(r.shape, jnp.float32)
         for q in range(index_depth, ib.NUM_BUCKETS):
             if self._buckets[q] is None:
                 continue

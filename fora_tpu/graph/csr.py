@@ -187,7 +187,7 @@ def from_edges(src: np.ndarray, dst: np.ndarray, n: int,
 
 
 def to_device(g: CSRGraph, merge_duplicate_edges: bool = False,
-              hub_rows: int = 0) -> DeviceGraph:
+              hub_rows: int = 0, pad_edges: int = 0) -> DeviceGraph:
     """Copy to device.  ``merge_duplicate_edges`` collapses parallel in-edges
     into unique (src, dst) pairs with an ``in_w`` multiplier column (see
     DeviceGraph) — only worthwhile for multigraphs (e.g. raw RMAT output);
@@ -203,6 +203,13 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False,
     a compact [H, B] operand in the push superstep — see DeviceGraph hub
     fields).  Exactness is unchanged (same edges, same weights, two
     dst-sorted segment sums instead of one).
+
+    ``pad_edges`` > 0: pad each in-edge partition to a multiple of this
+    (the push gather chunk size) with src 0 / dst n / weight 0 sentinels,
+    so the chunked kernels reshape for free instead of materializing
+    padded copies as per-call program temps (~0.7 GB per superstep at
+    LiveJournal scale; ops/push._chunked_edges).  Semantically inert:
+    dst = n is dropped by every consumer.
     """
     in_src, in_dst = g.in_src, g.in_dst
     in_w = None if g.in_w is None else g.in_w.astype(np.float32)
@@ -251,6 +258,15 @@ def to_device(g: CSRGraph, merge_duplicate_edges: bool = False,
             in_w = in_w[~is_hub]
         in_src = in_src[~is_hub]
         in_dst = in_dst[~is_hub]
+    if pad_edges > 0:
+        from ..ops.push import pad_edge_arrays
+        in_src, in_dst, in_w = pad_edge_arrays(
+            g.n, pad_edges, np.asarray(in_src, np.int32),
+            np.asarray(in_dst, np.int32), in_w)
+        if hub_dst is not None:
+            hub_sl, hub_dst, hub_w = pad_edge_arrays(
+                g.n, pad_edges, np.asarray(hub_sl, np.int32),
+                np.asarray(hub_dst, np.int32), hub_w)
     return DeviceGraph(
         out_indptr=jnp.asarray(g.out_indptr),
         out_indices=jnp.asarray(g.out_indices),

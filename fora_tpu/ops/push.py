@@ -124,18 +124,9 @@ def gather_segment_sum(values: jnp.ndarray, src: jnp.ndarray,
     if E <= max_chunk:
         return jax.ops.segment_sum(scaled(src, edge_w), dst, num_segments=n,
                                    indices_are_sorted=True)
-    n_chunks = -(-E // max_chunk)
-    pad = n_chunks * max_chunk - E
-    # pad entries: src 0 (any valid row — the gathered value lands in
-    # dropped segment n, so no [n+1, B] zero-padded copy of ``values`` is
-    # ever materialized; that copy was a 2-4 GB buffer + one full-state
-    # memcpy per superstep at LiveJournal scale)
-    src_p = jnp.concatenate(
-        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
-    dst_p = jnp.concatenate(
-        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
-    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
-           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+    # pad entries land in dropped segment n, so no [n+1, B] zero-padded
+    # copy of ``values`` is ever materialized (see _chunked_edges)
+    src_p, dst_p, w_p = _chunked_edges(src, dst, edge_w, n, max_chunk)
 
     def body(acc, chunk):
         s, d, w = chunk
@@ -190,15 +181,7 @@ def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
 
     if E <= max_chunk:
         return add_chunk(acc, src, dst, edge_w)
-    n_chunks = -(-E // max_chunk)
-    pad = n_chunks * max_chunk - E
-    # pad entries: src 0 (any valid row), dst n (out of range -> dropped)
-    src_p = jnp.concatenate(
-        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
-    dst_p = jnp.concatenate(
-        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
-    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
-           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+    src_p, dst_p, w_p = _chunked_edges(src, dst, edge_w, n, max_chunk)
 
     def body(a, chunk):
         s, d, w = chunk
@@ -206,6 +189,52 @@ def gather_scatter_add(acc: jnp.ndarray, values: jnp.ndarray,
 
     acc, _ = jax.lax.scan(body, acc, (src_p, dst_p, w_p))
     return acc
+
+
+def _chunked_edges(src, dst, edge_w, n, max_chunk):
+    """Edge arrays reshaped to [n_chunks, max_chunk] for the chunk scan.
+
+    When the edge count is already a multiple of ``max_chunk`` (the
+    pre-padded layout ``pad_edge_arrays`` produces), the reshape is a
+    free view.  Otherwise pads are appended IN-PROGRAM — a full copy of
+    the edge arrays as program temps every call (~2 GB per superstep for
+    the judged-scale tail + largest index bucket; part of the round-5
+    B=256 OOM budget) — so big-graph callers pre-pad.
+    Pad entries: src 0 (any valid row), dst n (out of range -> dropped by
+    scatter drop-mode / the n+1 dump segment), weight 0.
+    """
+    E = src.shape[0]
+    n_chunks = -(-E // max_chunk)
+    pad = n_chunks * max_chunk - E
+    if pad == 0:
+        return (src.reshape(n_chunks, max_chunk),
+                dst.reshape(n_chunks, max_chunk),
+                edge_w.reshape(n_chunks, max_chunk)
+                if edge_w is not None else None)
+    src_p = jnp.concatenate(
+        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
+    dst_p = jnp.concatenate(
+        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
+    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
+           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+    return src_p, dst_p, w_p
+
+
+def pad_edge_arrays(n: int, max_chunk: int, src, dst, w=None):
+    """Host-side edge padding to a multiple of ``max_chunk`` (numpy in,
+    numpy out) so every chunked gather kernel reshapes for free instead
+    of materializing padded copies as program temps (see _chunked_edges).
+    Pads: src 0, dst n (dropped), w 0."""
+    import numpy as np
+    E = len(src)
+    if E == 0 or E % max_chunk == 0 or E <= max_chunk:
+        return src, dst, w
+    pad = -(-E // max_chunk) * max_chunk - E
+    src = np.concatenate([src, np.zeros(pad, src.dtype)])
+    dst = np.concatenate([dst, np.full(pad, n, dst.dtype)])
+    if w is not None:
+        w = np.concatenate([w, np.zeros(pad, w.dtype)])
+    return src, dst, w
 
 
 def gather_scatter_add_pair(acc_a: jnp.ndarray, acc_b: jnp.ndarray,
@@ -239,14 +268,7 @@ def gather_scatter_add_pair(acc_a: jnp.ndarray, acc_b: jnp.ndarray,
 
     if E <= max_chunk:
         return add_chunk(acc_a, acc_b, src, dst, edge_w)
-    n_chunks = -(-E // max_chunk)
-    pad = n_chunks * max_chunk - E
-    src_p = jnp.concatenate(
-        [src, jnp.zeros((pad,), src.dtype)]).reshape(n_chunks, max_chunk)
-    dst_p = jnp.concatenate(
-        [dst, jnp.full((pad,), n, dst.dtype)]).reshape(n_chunks, max_chunk)
-    w_p = (jnp.concatenate([edge_w, jnp.zeros((pad,), edge_w.dtype)])
-           .reshape(n_chunks, max_chunk) if edge_w is not None else None)
+    src_p, dst_p, w_p = _chunked_edges(src, dst, edge_w, n, max_chunk)
 
     def body(carry, chunk):
         a, b = carry

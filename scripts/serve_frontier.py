@@ -51,7 +51,8 @@ def build_runner():
     exact_ids = bench.get_exact(g, sources)
     cfg = ForaConfig(epsilon=bench.EPS, k=bench.K, rmax_scale=bench.RMAXS)
     rcfg = cfg.resolved(g.n, g.m)
-    dg = to_device(g, merge_duplicate_edges=True, hub_rows=bench.HUB)
+    dg = to_device(g, merge_duplicate_edges=True, hub_rows=bench.HUB,
+                   pad_edges=bench.CHUNK)
     idx_dir = bench.CACHE / (f"{bench.TAG}.idx.e{bench.EPS}" +
                              (f".rs{bench.RMAXS:g}"
                               if bench.RMAXS != 1 else ""))

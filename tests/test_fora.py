@@ -369,3 +369,27 @@ def test_topk_pool_stepped_push_matches_while_loop():
     np.testing.assert_array_equal(stepped.node_ids, base.node_ids)
     np.testing.assert_allclose(stepped.values, base.values, rtol=1e-6)
     np.testing.assert_array_equal(stepped.accepted, base.accepted)
+
+
+def test_topk_pool_narrow_r_close_to_full():
+    """narrow_r stores the residue bf16 between push and walk (one
+    rounding per level, f32 everywhere else).  Results must agree with
+    the f32 path on ids and acceptance for non-borderline queries; values
+    within the ~0.4% bf16 perturbation."""
+    from fora_tpu import index as widx
+    g = generators.erdos_renyi(400, 4000, seed=13)
+    dg = to_device(g)
+    rcfg = ForaConfig(epsilon=0.5, k=8).resolved(g.n, g.m)
+    idx = widx.build_walk_index(dg, rcfg, jax.random.key(1))
+    sources = np.arange(24)
+    key = jax.random.key(9)
+    base = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx).query_pool(
+        sources, key, batch=8, start_level=0)
+    nr = topk_algo.TopkRunner(dg, rcfg, k=8, index=idx,
+                              narrow_r=True).query_pool(
+        sources, key, batch=8, start_level=0)
+    np.testing.assert_allclose(nr.values, base.values, rtol=6e-3)
+    # ranking agreement: overlap of returned sets >= 7/8 per query
+    for b in range(len(sources)):
+        inter = len(set(nr.node_ids[b]) & set(base.node_ids[b]))
+        assert inter >= 7, (b, inter)
