@@ -19,12 +19,13 @@ edges).  Scale via env:
   FORA_BENCH_QUERIES total queries        default 512
   FORA_BENCH_POOL    queries per resident pool, default 128 — the pool
                      runner keeps [n, pool] f32 push state (p and r) on
-                     device; a push superstep holds ~4 such [n, batch]
-                     buffers live (p, r, contrib, segment-sum acc), so at
-                     4.2M nodes batch 128 peaks ~8.6 GB + graph/index
-                     ~3 GB.  batch 256 at this scale exceeds v5e's 16 GB
-                     (measured OOM at 17.5 GB); at <=1M nodes pool 256 /
-                     batch 256 is the faster setting
+                     device.  On THIS image's relayed v5e runtime, any
+                     batch > 128 at 4.2M nodes is RESOURCE_EXHAUSTED
+                     (both superstep forms, bisected at B=160 —
+                     ARCHITECTURE.md round-5 coda) although the local
+                     XLA:TPU compiler's accounting says B=256 fits; at
+                     <=1M nodes pool 256 / batch 256 / BF16 / CHUNK=20
+                     is ~25% faster (bench_r5_c19)
   FORA_BENCH_K       top-k                default 50
   FORA_BENCH_EPS     epsilon              default 0.5
   FORA_BENCH_EVAL    queries scored vs exact oracle, default 128
@@ -46,10 +47,17 @@ edges).  Scale via env:
                      (default 131072 = the 64 MB operand sweet spot; 0
                      disables) — measured 16% faster superstep at judged
                      scale (hub_split_probe.py)
-  FORA_BENCH_PAIR    1 = paired push (pool blocks pushed two-at-a-time at
-                     the concatenated gather width; needs POOL >= 2*BATCH)
-                     — the round-5 answer to the judged-scale B=128
-                     HBM wall (TopkRunner push_pair)
+  FORA_BENCH_PAIR    1 = paired push (opt-in; measured slower than a
+                     single wide block — TopkRunner push_pair docstring)
+  FORA_BENCH_STEPPED -1 auto (= off) / 0 off / 1 on: host-stepped split
+                     superstep (StagedForaPrograms stepped_push)
+  FORA_BENCH_WALKHALF 1 = column-halved walk (measured RETIRED: windowed
+                     gathers ~30x slow; TopkRunner walk_half)
+  FORA_BENCH_NARROWR 1 = bf16 residue between push and walk (frees half
+                     a state buffer; ~0.2% one-time perturbation/level)
+  FORA_BENCH_WEIGHTED 1 = weighted RMAT (log-uniform [0.25,4) weights):
+                     alias-table walks, w/W push, weighted oracle;
+                     C++ baseline row omitted (unweighted binary)
 Everything heavy (graph, ground truth, C++ run) is cached in
 FORA_BENCH_CACHE keyed by the scale parameters.
 """

@@ -330,11 +330,16 @@ class StagedForaPrograms:
 
         self._step_a_pair = jax.jit(step_a_pair, donate_argnums=(1, 2))
         self._step_b_pair = jax.jit(step_b_pair, donate_argnums=(1, 2, 3))
-        # stepped when one state buffer exceeds ~0.75 GB — the regime
-        # where the one-program superstep's extra temps threaten HBM and
-        # a superstep is long enough (>= ~300 ms) to hide the per-step
-        # host sync; stepped_push=True/False overrides
-        self._stepped_bytes = 3 << 28
+        # stepped_push default (None) = OFF: the split superstep was built
+        # to buy query width past B=128 at judged scale, but on the REAL
+        # relayed backend both it and the while-loop program OOM at B=160
+        # regardless (the relay-side compiler does not reproduce the
+        # buffer aliasing the local XLA:TPU topology compiler shows —
+        # memprobe3/4 logs, round 5), so the width headroom it was meant
+        # to buy does not exist there, and each step costs one ~100-200 ms
+        # relay round-trip the while-loop never pays.  Chained it IS ~15%
+        # faster per superstep at bench scale (pair_probe), so the knob
+        # remains for latency-insensitive single-level pushes.
         self._stepped_force = stepped_push
 
         def bucket_spmv(src, dst, mult, r, inv_cnt, contrib):
@@ -417,16 +422,20 @@ class StagedForaPrograms:
 
     def _segment_iters(self, batch: int) -> int:
         """Supersteps per push program call: ~push_segment_secs at the
-        measured ~35 GB/s effective gather rate (v5e, CLAUDE.md), floor 4.
-        Small graphs get a cap above any realistic superstep count — one
-        program call, zero extra host syncs, behavior unchanged."""
-        est_secs = max(self._m_eff * batch * 4 / 35e9, 1e-6)
+        measured ~55 M rows/s judged-scale gather ROW rate — width-
+        independent (the gather is row-descriptor-bound, so a width-32
+        superstep costs nearly what a width-128 one does; the round-5
+        serve sweep's width-32 pool sized segments by the old per-ELEMENT
+        model, packed 81 supersteps into one program and tripped the
+        ~60 s relay watchdog).  Floor 4; small graphs get a cap above any
+        realistic superstep count — one program call, zero extra host
+        syncs."""
+        del batch
+        est_secs = max(self._m_eff / 55e6, 1e-6)
         return max(4, int(self._push_segment_secs / est_secs))
 
     def _push_segmented(self, p0, r0, rmax, thr):
-        n, B = r0.shape
-        use_stepped = (self._stepped_force if self._stepped_force is not None
-                       else n * B * 4 >= self._stepped_bytes)
+        use_stepped = bool(self._stepped_force)
         if thr is not None and use_stepped:
             return self._push_stepped(p0, r0, thr)
         st = push_ops.PushState(p=p0, r=r0, iters=jnp.zeros((), jnp.int32))
