@@ -205,7 +205,14 @@ class StagedForaPrograms:
         False forces the while-loop program, None (default) auto-selects
         by state size (see _push_segmented)."""
         from ..index import build as ib
+        import os
         self.graph, self.rcfg, self.index = graph, rcfg, index
+        # env override for relayed runtimes whose watchdog kills any
+        # single program execution past ~60 s (CLAUDE.md): narrow-width
+        # supersteps run below the row-rate model, so their segments can
+        # overshoot — lower the budget rather than risk the worker
+        push_segment_secs = float(os.environ.get(
+            "FORA_PUSH_SEGMENT_SECS", push_segment_secs))
         # Buffer DONATION throughout: the refinement pool's (p, r) state is
         # [n, B] f32 per buffer — 2.1 GB each at LiveJournal scale (4.2M
         # nodes, B=128).  Donating lets XLA alias the state arguments onto
