@@ -89,9 +89,15 @@ def warm(runner, sources, batch, jax):
 
 
 async def drive_open_loop(server_port, sources, rate_qps, window_s,
-                          n_conns=8, seed=0):
+                          n_conns=256, seed=0):
     """Poisson arrivals at ``rate_qps`` over ``window_s`` seconds, cycled
-    over ``sources``; returns per-request (latency_s or None-if-shed)."""
+    over ``sources``; returns per-request (latency_s or None-if-shed).
+
+    One in-flight request per connection (the lock spans write+read for
+    response matching), so ``n_conns`` bounds client concurrency — it
+    must exceed rate x worst-case latency or the CLIENT becomes the
+    bottleneck (the first frontier attempt measured its own 8-connection
+    cap: 0.36 q/s served at 5 offered)."""
     rng = np.random.default_rng(seed)
     results = []
     conns = []
