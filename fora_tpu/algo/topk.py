@@ -172,6 +172,11 @@ class TopkRunner:
         # slack; measured precision delta at bench scale: none
         # (bench_r5_* logs).
         self.narrow_r = bool(narrow_r) and index is not None
+        if self.narrow_r and self.push_pair:
+            # the pair level step would scatter-accumulate into a bf16
+            # residue (per-add rounding compounds on hot rows); narrow_r
+            # is only wired through the single-block staged path
+            raise ValueError("narrow_r and push_pair are incompatible")
         self._stepped_push = stepped_push
         self._staged = None
         if self.narrow_r:

@@ -224,3 +224,29 @@ def test_hub_split_weighted_matches_dense():
     sth = push_ops.forward_push(dgh, s, rmax=1e-4, alpha=0.2)
     np.testing.assert_allclose(np.asarray(sth.p), np.asarray(st0.p),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_pad_edge_arrays_and_padded_graph_equivalence():
+    """Edge padding (src 0 / dst n / w 0 sentinels to a chunk multiple)
+    is semantically inert: padded and unpadded device graphs produce
+    bitwise-identical push results, and the pre-padded layout reshapes
+    for free in the chunked kernels."""
+    import numpy as np
+
+    from fora_tpu.graph import generators, to_device
+    from fora_tpu.ops import push as push_ops
+
+    g = generators.erdos_renyi(300, 5000, seed=3)
+    pad = 1 << 10
+    src, dst, w = push_ops.pad_edge_arrays(
+        g.n, pad, np.asarray(g.in_src), np.asarray(g.in_dst), None)
+    assert len(src) % pad == 0 and len(src) > g.m
+    assert (dst[g.m:] == g.n).all() and (src[g.m:] == 0).all()
+
+    dg = to_device(g)
+    dgp = to_device(g, pad_edges=pad)
+    sources = jnp.arange(8, dtype=jnp.int32)
+    a = push_ops.forward_push(dg, sources, rmax=1e-4, alpha=0.2)
+    b = push_ops.forward_push(dgp, sources, rmax=1e-4, alpha=0.2)
+    np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
