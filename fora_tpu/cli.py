@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="host-stepped split superstep (auto: by state "
                         "size; the mode wide judged-scale blocks need)")
+    p.add_argument("--narrow-r", action="store_true",
+                   help="bf16 residue between push and walk phases "
+                        "(frees half a state buffer; ~0.2%% one-time "
+                        "perturbation per delta level)")
     p.add_argument("--graph-shards", type=int, default=1,
                    help="row-shard the graph (+ index) over this many "
                         "devices on the mesh 'graph' axis; batch-topk and "
@@ -181,7 +185,8 @@ def _make_topk_runner(args, g, dg, rcfg, idx):
             gather_chunk=1 << args.gather_chunk,
             push_pair=args.push_pair,
             stepped_push={"auto": None, "on": True,
-                          "off": False}[args.stepped_push])
+                          "off": False}[args.stepped_push],
+            narrow_r=args.narrow_r)
     from .parallel import ShardedTopkRunner, make_mesh
     if idx is None:
         raise ValueError("--graph-shards > 1 requires --with-idx (the "
